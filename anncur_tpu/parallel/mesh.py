@@ -1,0 +1,61 @@
+"""Device mesh + sharding helpers.
+
+The reference scales with PyTorch-Lightning DP/DDP over NCCL
+(models/pairwise_trainer.py:241-249); here parallelism is SPMD over a
+``jax.sharding.Mesh``: batch dims are sharded along the ``data`` axis,
+gradients are all-reduced by XLA over ICI automatically under jit, and
+multi-host runs extend the same mesh over DCN via
+``jax.distributed.initialize`` (no user-visible backend).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Sequence[int],
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n_needed = int(np.prod(shape))
+    if n_needed > len(devices):
+        raise ValueError(f"mesh shape {tuple(shape)} needs {n_needed} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n_needed]).reshape(tuple(shape))
+    return Mesh(arr, tuple(axis_names))
+
+
+def default_mesh(axis_name: str = "data") -> Mesh:
+    """1-D mesh over all local devices."""
+    return make_mesh((len(jax.devices()),), (axis_name,))
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "data"):
+    """Place a pytree of host arrays with leading batch dim sharded on axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(tree, sharding)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def pad_to_multiple(x, multiple: int, axis: int = 0, fill=0):
+    """Host-side pad so dim ``axis`` is divisible by ``multiple``.
+
+    Returns (padded, original_size). Static shapes are mandatory under jit;
+    ragged per-world item counts become pad+mask (SURVEY §7 'hard parts').
+    """
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad_widths = [(0, 0)] * x.ndim
+    pad_widths[axis] = (0, rem)
+    return np.pad(np.asarray(x), pad_widths, constant_values=fill), n

@@ -1,0 +1,57 @@
+"""Test config: force an 8-virtual-device CPU platform BEFORE jax imports.
+
+This is the TPU-world analogue of a fake distributed backend (the reference
+has none — SURVEY §4): all sharding/collective paths run on 8 host devices
+so multi-chip code is exercised in CI without TPU hardware.
+"""
+
+import os
+
+# NB: in this environment JAX_PLATFORMS=axon is force-set by the shell
+# profile and the env var route is unreliable — jax.config.update is the
+# authoritative override, applied before any backend initialization.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from anncur_tpu.parallel import make_mesh
+
+    return make_mesh((8,), ("data",))
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_low_rank(rng, n, m, rank, noise=0.0):
+    """Synthetic score matrix of known rank (CUR is exact when
+    rank(anchor intersection) == rank(A) — the core correctness oracle)."""
+    a = rng.standard_normal((n, rank)).astype(np.float32)
+    b = rng.standard_normal((rank, m)).astype(np.float32)
+    mat = a @ b
+    if noise:
+        mat = mat + noise * rng.standard_normal((n, m)).astype(np.float32)
+    return mat
+
+
+@pytest.fixture()
+def low_rank_factory(rng):
+    def _make(n=64, m=96, rank=8, noise=0.0):
+        return make_low_rank(rng, n, m, rank, noise)
+
+    return _make
