@@ -1,0 +1,238 @@
+"""From-scratch JAX BERT encoder.
+
+Replaces the reference's ``pytorch_transformers.BertModel`` dependency
+(models/biencoder.py:10-11, models/crossencoder.py:10-11) with a pure
+pytree-parameter implementation designed for TPU:
+
+- static shapes, bf16 compute dtype with f32 params and f32 layernorm,
+- attention as einsum contractions that map straight onto the MXU,
+- no Python control flow in the forward -> single XLA fusion region,
+- optional ``jax.checkpoint`` over layers for training memory,
+- weights importable from HF ``bert-base-uncased`` checkpoints
+  (models/hf_loader.py).
+
+Output contract matches the reference wrapper's expectation of
+``(sequence_output, pooled_output)`` (models/biencoder.py:100-106).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BertParams = Dict[str, Any]  # nested dict pytree
+
+
+@dataclasses.dataclass(frozen=True)
+class BertSpec:
+    """Architecture hyperparameters (bert-base-uncased defaults)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def tiny(cls, **kw) -> "BertSpec":
+        """Small spec for tests (fast CPU compile)."""
+        defaults = dict(
+            vocab_size=512,
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            intermediate_size=128,
+            max_position_embeddings=128,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+# --------------------------------------------------------------------- #
+# init
+# --------------------------------------------------------------------- #
+
+
+def _dense_init(key, shape, stddev):
+    return jax.random.normal(key, shape, jnp.float32) * stddev
+
+
+def init_bert_params(key: jax.Array, spec: BertSpec) -> BertParams:
+    keys = iter(jax.random.split(key, 16 + 16 * spec.num_layers))
+    std = spec.initializer_range
+    h, i = spec.hidden_size, spec.intermediate_size
+
+    params: BertParams = {
+        "embeddings": {
+            "word": _dense_init(next(keys), (spec.vocab_size, h), std),
+            "position": _dense_init(next(keys), (spec.max_position_embeddings, h), std),
+            "token_type": _dense_init(next(keys), (spec.type_vocab_size, h), std),
+            "ln_scale": jnp.ones((h,), jnp.float32),
+            "ln_bias": jnp.zeros((h,), jnp.float32),
+        },
+        "layers": [],
+        "pooler": {
+            "kernel": _dense_init(next(keys), (h, h), std),
+            "bias": jnp.zeros((h,), jnp.float32),
+        },
+    }
+    for _ in range(spec.num_layers):
+        layer = {
+            "attn": {
+                "q_kernel": _dense_init(next(keys), (h, h), std),
+                "q_bias": jnp.zeros((h,), jnp.float32),
+                "k_kernel": _dense_init(next(keys), (h, h), std),
+                "k_bias": jnp.zeros((h,), jnp.float32),
+                "v_kernel": _dense_init(next(keys), (h, h), std),
+                "v_bias": jnp.zeros((h,), jnp.float32),
+                "out_kernel": _dense_init(next(keys), (h, h), std),
+                "out_bias": jnp.zeros((h,), jnp.float32),
+                "ln_scale": jnp.ones((h,), jnp.float32),
+                "ln_bias": jnp.zeros((h,), jnp.float32),
+            },
+            "mlp": {
+                "in_kernel": _dense_init(next(keys), (h, i), std),
+                "in_bias": jnp.zeros((i,), jnp.float32),
+                "out_kernel": _dense_init(next(keys), (i, h), std),
+                "out_bias": jnp.zeros((h,), jnp.float32),
+                "ln_scale": jnp.ones((h,), jnp.float32),
+                "ln_bias": jnp.zeros((h,), jnp.float32),
+            },
+        }
+        params["layers"].append(layer)
+    return params
+
+
+# --------------------------------------------------------------------- #
+# forward
+# --------------------------------------------------------------------- #
+
+
+def _layer_norm(x, scale, bias, eps):
+    # layernorm in f32 regardless of compute dtype (TPU numerics rule)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _dense(x, kernel, bias, dtype):
+    return jnp.dot(x, kernel.astype(dtype), preferred_element_type=dtype) + bias.astype(dtype)
+
+
+def _gelu(x):
+    # BERT uses the erf ("exact") gelu
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _attention(x, mask_bias, p, spec: BertSpec, dtype, dropout_rng, dropout_rate):
+    b, s, h = x.shape
+    nh, hd = spec.num_heads, spec.head_dim
+
+    q = _dense(x, p["q_kernel"], p["q_bias"], dtype).reshape(b, s, nh, hd)
+    k = _dense(x, p["k_kernel"], p["k_bias"], dtype).reshape(b, s, nh, hd)
+    v = _dense(x, p["v_kernel"], p["v_bias"], dtype).reshape(b, s, nh, hd)
+
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd) + mask_bias  # (b, nh, s, s)
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v, preferred_element_type=dtype)
+    ctx = ctx.reshape(b, s, h)
+    return _dense(ctx, p["out_kernel"], p["out_bias"], dtype)
+
+
+def _encoder_layer(x, mask_bias, layer_params, spec, dtype, rngs, dropout_rate):
+    attn_rng, hid_rng1, hid_rng2 = rngs if rngs is not None else (None, None, None)
+    a = _attention(x, mask_bias, layer_params["attn"], spec, dtype, attn_rng, spec.attention_dropout if dropout_rate else 0.0)
+    if hid_rng1 is not None and dropout_rate:
+        keep = jax.random.bernoulli(hid_rng1, 1.0 - dropout_rate, a.shape)
+        a = jnp.where(keep, a / (1.0 - dropout_rate), 0.0)
+    x = _layer_norm(x + a, layer_params["attn"]["ln_scale"], layer_params["attn"]["ln_bias"], spec.layer_norm_eps)
+
+    m = _dense(x, layer_params["mlp"]["in_kernel"], layer_params["mlp"]["in_bias"], dtype)
+    m = _gelu(m)
+    m = _dense(m, layer_params["mlp"]["out_kernel"], layer_params["mlp"]["out_bias"], dtype)
+    if hid_rng2 is not None and dropout_rate:
+        keep = jax.random.bernoulli(hid_rng2, 1.0 - dropout_rate, m.shape)
+        m = jnp.where(keep, m / (1.0 - dropout_rate), 0.0)
+    x = _layer_norm(x + m, layer_params["mlp"]["ln_scale"], layer_params["mlp"]["ln_bias"], spec.layer_norm_eps)
+    return x
+
+
+def bert_encode(
+    params: BertParams,
+    token_ids: jax.Array,  # (b, s) int32
+    segment_ids: jax.Array,  # (b, s) int32
+    attention_mask: jax.Array,  # (b, s) {0,1}
+    spec: BertSpec,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout: bool = False,
+    remat: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (sequence_output (b, s, h) f32, pooled_output (b, h) f32).
+
+    pooled_output = tanh(W @ seq[:, 0]) — the HF/reference 'cls_w_lin'
+    pooling source (models/biencoder.py:108-109).
+    """
+    b, s = token_ids.shape
+    emb = params["embeddings"]
+    x = (
+        jnp.take(emb["word"], token_ids, axis=0)
+        + emb["position"][None, :s, :]
+        + jnp.take(emb["token_type"], segment_ids, axis=0)
+    )
+    x = _layer_norm(x.astype(compute_dtype), emb["ln_scale"], emb["ln_bias"], spec.layer_norm_eps)
+
+    rate = spec.hidden_dropout if (dropout and dropout_rng is not None) else 0.0
+    if rate:
+        drop_key, dropout_rng = jax.random.split(dropout_rng)
+        keep = jax.random.bernoulli(drop_key, 1.0 - rate, x.shape)
+        x = jnp.where(keep, x / (1.0 - rate), 0.0)
+
+    # additive attention bias: 0 where attend, large negative where masked
+    mask_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
+
+    layer_fn = _encoder_layer
+    if remat:
+        layer_fn = jax.checkpoint(_encoder_layer, static_argnums=(3, 4, 6))
+
+    if rate and dropout_rng is not None:
+        layer_rngs = [tuple(jax.random.split(k, 3)) for k in jax.random.split(dropout_rng, spec.num_layers)]
+    else:
+        layer_rngs = [None] * spec.num_layers
+
+    for li, layer_params in enumerate(params["layers"]):
+        x = layer_fn(x, mask_bias, layer_params, spec, compute_dtype, layer_rngs[li], rate)
+
+    seq_out = x.astype(jnp.float32)
+    pooled = jnp.tanh(
+        jnp.dot(seq_out[:, 0, :], params["pooler"]["kernel"], preferred_element_type=jnp.float32)
+        + params["pooler"]["bias"]
+    )
+    return seq_out, pooled
+
+
+def count_params(params: BertParams) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

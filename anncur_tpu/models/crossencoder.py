@@ -1,0 +1,138 @@
+"""Cross-encoder: joint (mention ⧺ entity) sequence -> scalar score.
+
+Two heads, parity with the reference (models/crossencoder.py):
+- 'default':  pooled representation -> dropout -> Linear(h, 1)
+  (CrossBertWrapper, crossencoder.py:194-215),
+- 'w_embeds': contextualized embeddings at [unused0/1] (mention, averaged)
+  and [unused2] (entity title); score = dot product
+  (CrossBertWEmbedsWrapper, crossencoder.py:51-191). This variant doubles
+  as an embedding generator for the fixed-anchor-entity baselines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from anncur_tpu.models.bert import BertSpec, bert_encode, init_bert_params
+from anncur_tpu.models.pooling import (
+    entity_embed,
+    mention_embed,
+    pool_sequence,
+    special_token_embeds,
+)
+from anncur_tpu.models.special_tokens import NULL_IDX
+
+
+def to_cross_bert_input(
+    token_ids: jax.Array, first_segment_end: int, null_idx: int = NULL_IDX
+):
+    """(token_ids, segment_ids, mask) for a concatenated pair sequence:
+    segment 1 starts at ``first_segment_end`` and is flagged only where
+    tokens are non-null (reference: models/crossencoder.py:29-48)."""
+    mask = token_ids != null_idx
+    if first_segment_end > 0:
+        pos = jax.lax.broadcasted_iota(jnp.int32, token_ids.shape, 1)
+        segment_ids = jnp.where(
+            (pos >= first_segment_end) & (token_ids > 0), 1, 0
+        ).astype(token_ids.dtype)
+    else:
+        segment_ids = jnp.zeros_like(token_ids)
+    token_ids = token_ids * mask.astype(token_ids.dtype)
+    return token_ids, segment_ids, mask
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossEncoder:
+    """Static config; params are an explicit pytree."""
+
+    spec: BertSpec = dataclasses.field(default_factory=BertSpec)
+    cross_enc_type: str = "default"  # default | w_embeds
+    pooling_type: str = "cls_w_lin"
+    compute_dtype: Any = jnp.bfloat16
+
+    def init(self, key: jax.Array) -> Dict[str, Any]:
+        k_bert, k_lin = jax.random.split(key)
+        params: Dict[str, Any] = {"bert": init_bert_params(k_bert, self.spec)}
+        if self.cross_enc_type == "default":
+            h = self.spec.hidden_size
+            params["score_linear"] = {
+                "kernel": jax.random.normal(k_lin, (h, 1), jnp.float32)
+                * self.spec.initializer_range,
+                "bias": jnp.zeros((1,), jnp.float32),
+            }
+        elif self.cross_enc_type != "w_embeds":
+            raise ValueError(f"cross_enc_type={self.cross_enc_type!r}")
+        return params
+
+    # ------------------------------------------------------------------ #
+
+    def _bert(self, params, token_ids, first_segment_end, train=False, rng=None):
+        token_ids, segment_ids, mask = to_cross_bert_input(token_ids, first_segment_end)
+        return bert_encode(
+            params["bert"],
+            token_ids,
+            segment_ids,
+            mask,
+            self.spec,
+            compute_dtype=self.compute_dtype,
+            dropout_rng=rng,
+            dropout=train,
+        ), token_ids
+
+    def score(
+        self,
+        params,
+        pair_token_ids: jax.Array,  # (b, 2L) concatenated mention⧺entity
+        first_segment_end: int,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Scalar score per pair, shape (b,)
+        (reference: score_candidate -> forward, crossencoder.py:450-468)."""
+        (seq_out, pooled), tok = self._bert(params, pair_token_ids, first_segment_end, train, rng)
+        if self.cross_enc_type == "default":
+            emb = pool_sequence(seq_out, pooled, self.pooling_type)
+            if train and rng is not None:
+                keep = jax.random.bernoulli(jax.random.fold_in(rng, 11), 0.9, emb.shape)
+                emb = jnp.where(keep, emb / 0.9, 0.0)
+            lin = params["score_linear"]
+            return (
+                jnp.dot(emb, lin["kernel"], preferred_element_type=jnp.float32)
+                + lin["bias"]
+            )[:, 0]
+        # w_embeds: dot of mention and entity special-token embeddings
+        m_emb, e_emb = special_token_embeds(seq_out, tok)
+        return jnp.sum(m_emb * e_emb, axis=-1)
+
+    def embed_paired(
+        self,
+        params,
+        pair_token_ids: jax.Array,
+        first_segment_end: int,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """(mention_embed, entity_embed) from one joint forward
+        (reference: embed_paired_input_and_labels, crossencoder.py:471-484)."""
+        if self.cross_enc_type != "w_embeds":
+            raise ValueError("embed_paired requires cross_enc_type='w_embeds'")
+        (seq_out, _), tok = self._bert(params, pair_token_ids, first_segment_end)
+        return special_token_embeds(seq_out, tok)
+
+    def embed_input(self, params, token_ids: jax.Array) -> jax.Array:
+        """Mention-only embedding (reference: forward_for_input_embeds,
+        crossencoder.py:127-158 / BertWrapper fallback)."""
+        (seq_out, pooled), tok = self._bert(params, token_ids, 0)
+        if self.cross_enc_type == "w_embeds":
+            return mention_embed(seq_out, tok)
+        return pool_sequence(seq_out, pooled, self.pooling_type)
+
+    def embed_label(self, params, token_ids: jax.Array) -> jax.Array:
+        """Entity-only embedding (reference: forward_for_label_embeds,
+        crossencoder.py:161-191)."""
+        (seq_out, pooled), tok = self._bert(params, token_ids, 0)
+        if self.cross_enc_type == "w_embeds":
+            return entity_embed(seq_out, tok)
+        return pool_sequence(seq_out, pooled, self.pooling_type)

@@ -1,0 +1,134 @@
+"""Import HuggingFace BERT checkpoints into our pytree format.
+
+The reference loads pretrained `bert-base-uncased` towers and the HF-hub
+checkpoints named in its README (README.md:54-58). This loader maps a
+``transformers`` BertModel state_dict (torch tensors or a saved
+``pytorch_model.bin``) onto :mod:`anncur_tpu.models.bert` params. Torch
+``nn.Linear`` stores (out, in) weights; ours are (in, out) — transposed
+here once at load time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from anncur_tpu.models.bert import BertParams, BertSpec
+
+
+def _to_np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def bert_params_from_state_dict(
+    state_dict: Mapping[str, Any],
+    spec: BertSpec,
+    prefix: str = "",
+) -> BertParams:
+    """Convert an HF BertModel state_dict to our params pytree.
+
+    ``prefix``: key prefix to strip (e.g. 'bert.' for BertForX heads, or
+    'model.input_encoder.bert_model.' for reference Lightning ckpts —
+    see reference state-dict prefix handling, models/biencoder.py:386-409).
+    """
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+
+    def get(name: str, transpose: bool = False) -> jnp.ndarray:
+        arr = _to_np(sd[name])
+        if transpose:
+            arr = arr.T
+        return jnp.asarray(arr)
+
+    params: BertParams = {
+        "embeddings": {
+            "word": get("embeddings.word_embeddings.weight"),
+            "position": get("embeddings.position_embeddings.weight"),
+            "token_type": get("embeddings.token_type_embeddings.weight"),
+            "ln_scale": get("embeddings.LayerNorm.weight"),
+            "ln_bias": get("embeddings.LayerNorm.bias"),
+        },
+        "layers": [],
+        "pooler": {
+            "kernel": get("pooler.dense.weight", transpose=True),
+            "bias": get("pooler.dense.bias"),
+        },
+    }
+    for li in range(spec.num_layers):
+        p = f"encoder.layer.{li}."
+        params["layers"].append(
+            {
+                "attn": {
+                    "q_kernel": get(p + "attention.self.query.weight", True),
+                    "q_bias": get(p + "attention.self.query.bias"),
+                    "k_kernel": get(p + "attention.self.key.weight", True),
+                    "k_bias": get(p + "attention.self.key.bias"),
+                    "v_kernel": get(p + "attention.self.value.weight", True),
+                    "v_bias": get(p + "attention.self.value.bias"),
+                    "out_kernel": get(p + "attention.output.dense.weight", True),
+                    "out_bias": get(p + "attention.output.dense.bias"),
+                    "ln_scale": get(p + "attention.output.LayerNorm.weight"),
+                    "ln_bias": get(p + "attention.output.LayerNorm.bias"),
+                },
+                "mlp": {
+                    "in_kernel": get(p + "intermediate.dense.weight", True),
+                    "in_bias": get(p + "intermediate.dense.bias"),
+                    "out_kernel": get(p + "output.dense.weight", True),
+                    "out_bias": get(p + "output.dense.bias"),
+                    "ln_scale": get(p + "output.LayerNorm.weight"),
+                    "ln_bias": get(p + "output.LayerNorm.bias"),
+                },
+            }
+        )
+    return params
+
+
+def spec_from_hf_config(config) -> BertSpec:
+    """BertSpec from a transformers BertConfig."""
+    return BertSpec(
+        vocab_size=config.vocab_size,
+        hidden_size=config.hidden_size,
+        num_layers=config.num_hidden_layers,
+        num_heads=config.num_attention_heads,
+        intermediate_size=config.intermediate_size,
+        max_position_embeddings=config.max_position_embeddings,
+        type_vocab_size=config.type_vocab_size,
+        layer_norm_eps=config.layer_norm_eps,
+        initializer_range=config.initializer_range,
+    )
+
+
+def load_bert_from_pretrained_dir(model_dir: str):
+    """(spec, params, vocab_path) from a local HF-format directory
+    containing config.json + pytorch_model.bin + vocab.txt."""
+    import json
+    import os
+
+    import torch
+
+    with open(os.path.join(model_dir, "config.json")) as fin:
+        cfg = json.load(fin)
+    spec = BertSpec(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=cfg["num_attention_heads"],
+        intermediate_size=cfg["intermediate_size"],
+        max_position_embeddings=cfg["max_position_embeddings"],
+        type_vocab_size=cfg.get("type_vocab_size", 2),
+        layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
+    )
+    for name in ("pytorch_model.bin", "model.pt", "model.torch"):
+        path = os.path.join(model_dir, name)
+        if os.path.exists(path):
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            break
+    else:
+        raise FileNotFoundError(f"no torch checkpoint in {model_dir}")
+    prefix = "bert." if any(k.startswith("bert.") for k in sd) else ""
+    params = bert_params_from_state_dict(sd, spec, prefix=prefix)
+    vocab_path = os.path.join(model_dir, "vocab.txt")
+    return spec, params, (vocab_path if os.path.exists(vocab_path) else None)

@@ -1,0 +1,207 @@
+"""WordPiece tokenizer, implemented from scratch (no HF download needed).
+
+Byte-identical with BERT's reference basic+wordpiece algorithm given the
+same vocab file (lowercasing, accent stripping, punctuation splitting,
+CJK spacing, greedy longest-match-first with '##' continuations). The
+reference uses pytorch_transformers.BertTokenizer with do_lower_case=True
+(models/biencoder.py:295-312); recall parity requires identical token ids
+(SURVEY §7 'hard parts').
+
+Tested for exact agreement against ``transformers.BertTokenizer``
+constructed from the same local vocab (tests/test_tokenizer.py).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from typing import Dict, Iterable, List, Optional
+
+
+def _is_whitespace(ch: str) -> bool:
+    if ch in (" ", "\t", "\n", "\r"):
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_punctuation(ch: str) -> bool:
+    cp = ord(ch)
+    # ASCII ranges treated as punctuation even when unicode disagrees
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF
+        or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F
+        or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+class BasicTokenizer:
+    def __init__(self, do_lower_case: bool = True, never_split: Optional[Iterable[str]] = None):
+        self.do_lower_case = do_lower_case
+        self.never_split = set(never_split or ())
+
+    def tokenize(self, text: str) -> List[str]:
+        text = self._clean(text)
+        text = self._space_cjk(text)
+        tokens = text.strip().split() if text.strip() else []
+        out: List[str] = []
+        for tok in tokens:
+            if tok in self.never_split:
+                out.append(tok)
+                continue
+            if self.do_lower_case:
+                tok = tok.lower()
+                tok = self._strip_accents(tok)
+            out.extend(self._split_punc(tok))
+        return " ".join(out).split()
+
+    @staticmethod
+    def _clean(text: str) -> str:
+        chars = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                continue
+            chars.append(" " if _is_whitespace(ch) else ch)
+        return "".join(chars)
+
+    @staticmethod
+    def _space_cjk(text: str) -> str:
+        chars = []
+        for ch in text:
+            if _is_cjk(ord(ch)):
+                chars.extend((" ", ch, " "))
+            else:
+                chars.append(ch)
+        return "".join(chars)
+
+    @staticmethod
+    def _strip_accents(text: str) -> str:
+        return "".join(
+            ch for ch in unicodedata.normalize("NFD", text) if unicodedata.category(ch) != "Mn"
+        )
+
+    @staticmethod
+    def _split_punc(token: str) -> List[str]:
+        out: List[List[str]] = []
+        new_word = True
+        for ch in token:
+            if _is_punctuation(ch):
+                out.append([ch])
+                new_word = True
+            else:
+                if new_word:
+                    out.append([])
+                new_word = False
+                out[-1].append(ch)
+        return ["".join(seg) for seg in out if seg]
+
+
+class WordPieceTokenizer:
+    """BERT tokenizer: basic tokenization + greedy WordPiece."""
+
+    def __init__(
+        self,
+        vocab: Dict[str, int],
+        do_lower_case: bool = True,
+        unk_token: str = "[UNK]",
+        max_chars_per_word: int = 100,
+        never_split: Optional[Iterable[str]] = None,
+    ):
+        self.vocab = dict(vocab)
+        self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
+        self.unk_token = unk_token
+        self.max_chars_per_word = max_chars_per_word
+        self.basic = BasicTokenizer(do_lower_case, never_split)
+        self.cls_token = "[CLS]"
+        self.sep_token = "[SEP]"
+        self.pad_token = "[PAD]"
+
+    # ---------------- construction ------------------------------------ #
+
+    @classmethod
+    def from_vocab_file(cls, path: str, **kw) -> "WordPieceTokenizer":
+        vocab: Dict[str, int] = {}
+        with open(path, encoding="utf-8") as fin:
+            for i, line in enumerate(fin):
+                tok = line.rstrip("\n")
+                if tok:
+                    vocab[tok] = i
+        return cls(vocab, **kw)
+
+    def save_vocab(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as fout:
+            for tok, _ in sorted(self.vocab.items(), key=lambda kv: kv[1]):
+                fout.write(tok + "\n")
+
+    # ---------------- tokenize ----------------------------------------- #
+
+    def wordpiece(self, token: str) -> List[str]:
+        if len(token) > self.max_chars_per_word:
+            return [self.unk_token]
+        out: List[str] = []
+        start = 0
+        n = len(token)
+        while start < n:
+            end = n
+            cur = None
+            while start < end:
+                sub = token[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_token]
+            out.append(cur)
+            start = end
+        return out
+
+    def tokenize(self, text: str) -> List[str]:
+        out: List[str] = []
+        for tok in self.basic.tokenize(text):
+            out.extend(self.wordpiece(tok))
+        return out
+
+    def convert_tokens_to_ids(self, tokens: List[str]) -> List[int]:
+        unk = self.vocab[self.unk_token]
+        return [self.vocab.get(t, unk) for t in tokens]
+
+    def convert_ids_to_tokens(self, ids: List[int]) -> List[str]:
+        return [self.ids_to_tokens.get(i, self.unk_token) for i in ids]
+
+    def encode(self, text: str) -> List[int]:
+        return self.convert_tokens_to_ids(self.tokenize(text))
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+
+def make_test_vocab(extra_words: Iterable[str] = ()) -> Dict[str, int]:
+    """Tiny deterministic vocab for tests: specials + ascii chars + '##'
+    continuations + caller-specified whole words."""
+    tokens = ["[PAD]", "[unused0]", "[unused1]", "[unused2]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    tokens += list("abcdefghijklmnopqrstuvwxyz0123456789.,!?-'\"")
+    tokens += ["##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    for w in extra_words:
+        if w not in tokens:
+            tokens.append(w)
+    return {t: i for i, t in enumerate(tokens)}

@@ -1,0 +1,107 @@
+"""BERT architecture parity: our JAX forward vs transformers.BertModel
+with identical (randomly initialized) weights — no network needed."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anncur_tpu.models.bert import BertSpec, bert_encode, init_bert_params, count_params
+from anncur_tpu.models.hf_loader import bert_params_from_state_dict, spec_from_hf_config
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel
+
+    cfg = BertConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    model = BertModel(cfg).eval()
+    spec = spec_from_hf_config(cfg)
+    params = bert_params_from_state_dict(model.state_dict(), spec)
+    return model, spec, params
+
+
+def test_forward_matches_transformers(hf_pair, rng):
+    torch = pytest.importorskip("torch")
+    model, spec, params = hf_pair
+
+    b, s = 3, 16
+    tok = rng.integers(1, 128, size=(b, s)).astype(np.int64)
+    seg = np.zeros((b, s), np.int64)
+    seg[:, 8:] = 1
+    mask = np.ones((b, s), np.int64)
+    mask[0, 12:] = 0
+
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(tok),
+            token_type_ids=torch.tensor(seg),
+            attention_mask=torch.tensor(mask),
+        )
+    want_seq = out.last_hidden_state.numpy()
+    want_pooled = out.pooler_output.numpy()
+
+    got_seq, got_pooled = bert_encode(
+        params,
+        jnp.asarray(tok, jnp.int32),
+        jnp.asarray(seg, jnp.int32),
+        jnp.asarray(mask, jnp.int32),
+        spec,
+        compute_dtype=jnp.float32,
+    )
+    # positions attended to must match closely; padded positions may differ
+    m = mask.astype(bool)
+    np.testing.assert_allclose(np.asarray(got_seq)[m], want_seq[m], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_pooled), want_pooled, atol=2e-4, rtol=1e-3)
+
+
+def test_bf16_close_to_f32(hf_pair, rng):
+    _, spec, params = hf_pair
+    tok = jnp.asarray(rng.integers(1, 128, size=(2, 12)), jnp.int32)
+    seg = jnp.zeros_like(tok)
+    mask = jnp.ones_like(tok)
+    f32_seq, _ = bert_encode(params, tok, seg, mask, spec, compute_dtype=jnp.float32)
+    bf16_seq, _ = bert_encode(params, tok, seg, mask, spec, compute_dtype=jnp.bfloat16)
+    # bf16 compute tolerance: relative error at the 1e-2 scale
+    err = np.abs(np.asarray(f32_seq) - np.asarray(bf16_seq)).max()
+    scale = np.abs(np.asarray(f32_seq)).max()
+    assert err / scale < 0.05
+
+
+def test_init_shapes_and_count():
+    spec = BertSpec.tiny()
+    params = init_bert_params(jax.random.PRNGKey(0), spec)
+    assert len(params["layers"]) == spec.num_layers
+    assert params["embeddings"]["word"].shape == (spec.vocab_size, spec.hidden_size)
+    n = count_params(params)
+    assert n > 0
+
+
+def test_jit_and_grad():
+    spec = BertSpec.tiny()
+    params = init_bert_params(jax.random.PRNGKey(0), spec)
+    tok = jnp.ones((2, 8), jnp.int32)
+    seg = jnp.zeros_like(tok)
+    mask = jnp.ones_like(tok)
+
+    @jax.jit
+    def loss_fn(p):
+        seq, pooled = bert_encode(p, tok, seg, mask, spec, compute_dtype=jnp.float32)
+        return jnp.sum(pooled**2)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)

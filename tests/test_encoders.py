@@ -1,0 +1,109 @@
+"""Bi-encoder / cross-encoder head tests on tiny specs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anncur_tpu.models.bert import BertSpec
+from anncur_tpu.models.biencoder import BiEncoder, to_bert_input
+from anncur_tpu.models.crossencoder import CrossEncoder, to_cross_bert_input
+
+
+SPEC = BertSpec.tiny()
+
+
+def toks(rng, b, s, low=10):
+    t = rng.integers(low, SPEC.vocab_size, size=(b, s)).astype(np.int32)
+    t[:, -2:] = 0  # padding tail
+    return jnp.asarray(t)
+
+
+def test_to_bert_input():
+    t = jnp.asarray([[5, 6, 0, 0]])
+    tok, seg, mask = to_bert_input(t)
+    np.testing.assert_array_equal(np.asarray(mask), [[1, 1, 0, 0]])
+    np.testing.assert_array_equal(np.asarray(seg), [[0, 0, 0, 0]])
+
+
+def test_to_cross_bert_input_segments():
+    t = jnp.asarray([[5, 6, 7, 8, 9, 0, 0, 0]])
+    tok, seg, mask = to_cross_bert_input(t, first_segment_end=3)
+    # segment 1 only where pos >= 3 AND token > 0 (crossencoder.py:40-42)
+    np.testing.assert_array_equal(np.asarray(seg), [[0, 0, 0, 1, 1, 0, 0, 0]])
+    np.testing.assert_array_equal(np.asarray(mask), [[1, 1, 1, 1, 1, 0, 0, 0]])
+
+
+@pytest.mark.parametrize("bi_enc_type", ["separate", "shared"])
+def test_biencoder_encode_and_score(rng, bi_enc_type):
+    enc = BiEncoder(
+        spec=SPEC, pooling_type="cls", bi_enc_type=bi_enc_type,
+        embed_dim=SPEC.hidden_size, compute_dtype=jnp.float32,
+    )
+    params = enc.init(jax.random.PRNGKey(0))
+    q = enc.encode_input(params, toks(rng, 3, 16))
+    l = enc.encode_label(params, toks(rng, 5, 16))
+    assert q.shape == (3, SPEC.hidden_size) and l.shape == (5, SPEC.hidden_size)
+    scores = enc.score_labels(q, l)
+    assert scores.shape == (3, 5)
+    paired = enc.score_paired(q, l[:3])
+    np.testing.assert_allclose(np.asarray(paired), np.asarray(scores[:, :3]).diagonal(), rtol=1e-5)
+
+
+def test_biencoder_linear_layer(rng):
+    enc = BiEncoder(
+        spec=SPEC, pooling_type="cls", embed_dim=32, add_linear_layer=True,
+        compute_dtype=jnp.float32,
+    )
+    params = enc.init(jax.random.PRNGKey(0))
+    q = enc.encode_input(params, toks(rng, 2, 16))
+    assert q.shape == (2, 32)
+
+
+def test_biencoder_embed_dim_guard():
+    with pytest.raises(ValueError):
+        BiEncoder(spec=SPEC, embed_dim=32, add_linear_layer=False)
+
+
+def test_crossencoder_default_scores(rng):
+    ce = CrossEncoder(spec=SPEC, cross_enc_type="default", pooling_type="cls_w_lin", compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(1))
+    pairs = toks(rng, 4, 32)
+    scores = ce.score(params, pairs, first_segment_end=16)
+    assert scores.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_crossencoder_w_embeds(rng):
+    ce = CrossEncoder(spec=SPEC, cross_enc_type="w_embeds", compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(2))
+    t = np.array(toks(rng, 4, 32))
+    # plant special tokens: [unused0]=1, [unused1]=2 in mention part; [unused2]=3 in entity part
+    t[:, 2] = 1
+    t[:, 6] = 2
+    t[:, 20] = 3
+    t = jnp.asarray(t)
+    scores = ce.score(params, t, first_segment_end=16)
+    m, e = ce.embed_paired(params, t, first_segment_end=16)
+    # score must equal dot(mention_embed, entity_embed)
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(jnp.sum(m * e, axis=-1)), rtol=2e-3, atol=2e-3
+    )
+    # embed_input / embed_label single-sided paths
+    mi = ce.embed_input(params, t[:, :16])
+    le = ce.embed_label(params, t[:, 16:])
+    assert mi.shape == (4, SPEC.hidden_size) and le.shape == (4, SPEC.hidden_size)
+
+
+def test_crossencoder_jit_grad(rng):
+    ce = CrossEncoder(spec=SPEC, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(3))
+    pairs = toks(rng, 2, 32)
+
+    @jax.jit
+    def loss(p):
+        return jnp.sum(ce.score(p, pairs, 16) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g))
