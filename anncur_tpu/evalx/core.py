@@ -1,0 +1,122 @@
+"""Shared retrieve-then-rerank evaluation primitives, fully vectorized.
+
+The reference's evaluators loop per mention in Python, mask-fill a score
+vector at -1e14, and topk it (run_retrieval_eval_wrt_exact_crossenc.py:
+97-117). Here one batched gather + two ``lax.top_k`` calls produce the
+identical rankings for all mentions at once (same semantics: only
+retrieved entities can appear in the reranked list).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from anncur_tpu.core.metrics import frobenius_error, topk_overlap_frac
+
+
+@partial(jax.jit, static_argnames=("top_k", "top_k_retvr"))
+def retrieve_rerank(
+    exact: jax.Array,  # (q, n) exact scores
+    approx: jax.Array,  # (q, n) approximate scores
+    top_k: int,
+    top_k_retvr: int,
+) -> Dict[str, jax.Array]:
+    """Returns exact top-k, approx top-k_retvr, and the reranked top-k
+    (approx retrieval reranked by exact scores)."""
+    exact_scores, exact_idx = lax.top_k(exact, top_k)
+    approx_scores, approx_idx = lax.top_k(approx, top_k_retvr)
+    gathered = jnp.take_along_axis(exact, approx_idx, axis=1)
+    rr_scores, rr_pos = lax.top_k(gathered, top_k)
+    rr_idx = jnp.take_along_axis(approx_idx, rr_pos, axis=1)
+    return {
+        "exact_indices": exact_idx,
+        "exact_scores": exact_scores,
+        "approx_indices": approx_idx,
+        "approx_scores": approx_scores,
+        "reranked_indices": rr_idx,
+        "reranked_scores": rr_scores,
+    }
+
+
+def _overlap_stats(a: np.ndarray, b: np.ndarray, k: int) -> Dict[str, float]:
+    """Flat metric dict in the reference's key format
+    (exact_vs_reranked_approx_retvr~common_frac_mean etc.,
+    run_retrieval_eval_wrt_exact_crossenc.py:124-144)."""
+    frac = np.asarray(topk_overlap_frac(jnp.asarray(a[:, :k]), jnp.asarray(b[:, :k])))
+    vals = {
+        "common": frac * k,
+        "diff": (1 - frac) * k,
+        "total": np.full_like(frac, 2 * k),
+        "common_frac": frac,
+        "diff_frac": 1 - frac,
+    }
+    out = {}
+    for name, v in vals.items():
+        if len(v) == 0:
+            out[f"exact_vs_reranked_approx_retvr~{name}_mean"] = 0.0
+            out[f"exact_vs_reranked_approx_retvr~{name}_std"] = 0.0
+            out[f"exact_vs_reranked_approx_retvr~{name}_p50"] = 0.0
+        else:
+            out[f"exact_vs_reranked_approx_retvr~{name}_mean"] = float(np.mean(v))
+            out[f"exact_vs_reranked_approx_retvr~{name}_std"] = float(np.std(v))
+            out[f"exact_vs_reranked_approx_retvr~{name}_p50"] = float(np.percentile(v, 50))
+    return out
+
+
+def eval_approx_for_all_topk(
+    exact: np.ndarray,
+    approx: np.ndarray,
+    top_k_vals: Sequence[int],
+    top_k_retvr: int,
+    with_error: bool = False,
+) -> Dict[int, Dict[str, float]]:
+    """One retrieval at ``top_k_retvr``, evaluated at every top_k <=
+    top_k_retvr (reference: eval_approx_score_mat_for_all_topk,
+    ..._w_fixed_train_test_splits.py:51-132)."""
+    top_k_vals = [k for k in top_k_vals if k <= top_k_retvr]
+    if not top_k_vals:
+        return {}
+    n = exact.shape[1]
+    max_k = min(max(top_k_vals), n)
+    kr = min(top_k_retvr, n)
+    out_arrays = retrieve_rerank(jnp.asarray(exact), jnp.asarray(approx), max_k, kr)
+    exact_idx = np.asarray(out_arrays["exact_indices"])
+    rr_idx = np.asarray(out_arrays["reranked_indices"])
+    res = {}
+    for k in top_k_vals:
+        res[k] = _overlap_stats(exact_idx, rr_idx, k)
+        if with_error:
+            res[k].update(frobenius_error(approx, exact))
+    return res
+
+
+def eval_split_overlap(
+    exact: np.ndarray,
+    approx: np.ndarray,
+    top_k: int,
+    top_k_retvr: int,
+    ment_splits: Dict[str, np.ndarray],
+) -> Dict[str, Dict[str, float]]:
+    """Per-mention-split (anchor / non_anchor / all) overlap + Frobenius
+    error (reference: run_approx_eval_w_seed, :124-154)."""
+    n = exact.shape[1]
+    out_arrays = retrieve_rerank(
+        jnp.asarray(exact), jnp.asarray(approx), min(top_k, n), min(top_k_retvr, n)
+    )
+    exact_idx = np.asarray(out_arrays["exact_indices"])
+    rr_idx = np.asarray(out_arrays["reranked_indices"])
+    res = {}
+    for name, idxs in ment_splits.items():
+        stats = _overlap_stats(exact_idx[idxs], rr_idx[idxs], min(top_k, n))
+        err = float(np.linalg.norm((approx - exact)[idxs, :]))
+        base = float(np.linalg.norm(exact[idxs, :]))
+        stats["approx_error"] = err
+        stats["approx_error_relative"] = err / max(base, 1e-30)
+        res[name] = stats
+    return res

@@ -1,0 +1,160 @@
+"""Inductive (online-query) retrieval eval with fixed train/test splits.
+
+Models the production query path: the index is built from train-mention
+rows; test mentions are UNSEEN — each pays ``n_ent_anchors`` exact CE
+calls (its anchor-item scores), projects to all items through the CUR
+latent factors, retrieves top_k_retvr, and is reranked with exact scores.
+
+Parity with eval/run_retrieval_eval_wrt_exact_crossenc_w_fixed_train_test
+_splits.py:209-507: methods {cur, bienc, tfidf, fixed_anc_ent,
+fixed_anc_ent_cur}, the same retrieval-budget grids (incl. fractional
+top_k_retvr values), one retrieval evaluated at every top_k, per-seed
+nested JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from collections import defaultdict
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from anncur_tpu.core.cur import build_cur
+from anncur_tpu.evalx.core import eval_approx_for_all_topk
+
+LOGGER = logging.getLogger(__name__)
+
+TOP_K_VALS = [1, 10, 50, 100]
+TOP_K_RETVR_BASE = [1, 10, 50, 100, 200, 500, 1000]
+
+
+def cur_retvr_grid(base: Sequence[int] = TOP_K_RETVR_BASE) -> list:
+    """Budget grid incl. 0.1..0.9 fractions for CUR methods
+    (reference: :241)."""
+    vals = list(base) + [int(k * frac) for k in base for frac in np.arange(0.1, 1.0, 0.1)]
+    return sorted(set(v for v in vals if v >= 1))
+
+
+def cur_project_test_scores(
+    train_scores: np.ndarray,  # (n_train, n_ents) exact CE scores
+    test_anchor_scores: np.ndarray,  # (n_test, n_anchors) exact CE scores
+    anchor_ents: np.ndarray,  # (n_anchors,) sorted
+) -> np.ndarray:
+    """Online projection: build CUR with ALL train rows as anchors and
+    the given anchor items, then complete the unseen test rows
+    (reference: :286-303)."""
+    n_train = train_scores.shape[0]
+    index = build_cur(
+        rows=train_scores,
+        cols=train_scores[:, anchor_ents],
+        row_idxs=np.arange(n_train),
+        col_idxs=anchor_ents,
+        approx_preference="rows",
+        validate=False,
+    )
+    return np.asarray(index.get_complete_row(np.asarray(test_anchor_scores, np.float32)))
+
+
+def run_inductive_eval(
+    test_scores: np.ndarray,  # (n_test, n_ents) exact matrix (ground truth)
+    train_scores: Optional[np.ndarray],  # (n_train, n_ents), needed for cur
+    res_dir: str,
+    method: str = "cur",
+    seed: int = 0,
+    top_k_vals: Optional[Sequence[int]] = None,
+    top_k_retvr_vals: Optional[Sequence[int]] = None,
+    n_ent_anchors_vals: Optional[Sequence[int]] = None,
+    bienc_scores: Optional[np.ndarray] = None,  # (n_test, n_ents)
+    tfidf_scores: Optional[np.ndarray] = None,  # (n_test, n_ents)
+    ent_to_ent_data: Optional[Dict] = None,  # {'scores': (n_e,k), 'anchor_ents': (k,)}
+    misc: str = "",
+) -> Dict:
+    """Per-seed nested result dict {top_k -> k_retvr -> anc_n_e -> metrics}
+    written to res_dir/method={method}_s={seed}{misc}/res.json."""
+    test_scores = np.asarray(test_scores, np.float32)
+    n_test, n_ents = test_scores.shape
+    top_k_vals = list(top_k_vals or TOP_K_VALS)
+
+    is_budget_method = "cur" in method or "fixed_anc_ent" in method
+    if top_k_retvr_vals is None:
+        top_k_retvr_vals = cur_retvr_grid() if is_budget_method else list(TOP_K_RETVR_BASE)
+    top_k_retvr_vals = sorted(set(int(v) for v in top_k_retvr_vals if 1 <= v <= n_ents))
+
+    if n_ent_anchors_vals is None:
+        base = [10, 50, 100, 200, 500, 1000, 2000]
+        n_ent_anchors_vals = sorted(
+            set([v for v in base if v < n_ents] + [n_ents])
+        )
+    n_ent_anchors_vals = [v for v in n_ent_anchors_vals if v <= n_ents]
+
+    rng = np.random.default_rng(seed=seed)
+
+    # approximate test-mention scores per anchor budget
+    approx_per_budget: Dict[int, np.ndarray] = {}
+    if method == "cur":
+        if train_scores is None:
+            raise ValueError("method 'cur' requires train_scores")
+        train_scores = np.asarray(train_scores, np.float32)
+        for n_anc in n_ent_anchors_vals:
+            anchor_ents = np.asarray(sorted(rng.choice(n_ents, size=n_anc, replace=False)))
+            approx_per_budget[n_anc] = cur_project_test_scores(
+                train_scores, test_scores[:, anchor_ents], anchor_ents
+            )
+    elif method == "bienc":
+        if bienc_scores is None:
+            raise ValueError("method 'bienc' requires bienc_scores")
+        approx_per_budget = {v: np.asarray(bienc_scores) for v in n_ent_anchors_vals}
+    elif method == "tfidf":
+        if tfidf_scores is None:
+            raise ValueError("method 'tfidf' requires tfidf_scores")
+        approx_per_budget = {v: np.asarray(tfidf_scores) for v in n_ent_anchors_vals}
+    elif method == "fixed_anc_ent":
+        if ent_to_ent_data is None:
+            raise ValueError("method 'fixed_anc_ent' requires ent_to_ent_data")
+        scores = test_scores[:, ent_to_ent_data["anchor_ents"]] @ np.asarray(
+            ent_to_ent_data["scores"]
+        ).T
+        approx_per_budget = {v: scores for v in n_ent_anchors_vals}
+    elif method == "fixed_anc_ent_cur":
+        if ent_to_ent_data is None:
+            raise ValueError("method 'fixed_anc_ent_cur' requires ent_to_ent_data")
+        from anncur_tpu.evalx.transductive import fixed_anc_ent_cur_approx
+
+        for n_anc in n_ent_anchors_vals:
+            approx_per_budget[n_anc] = fixed_anc_ent_cur_approx(
+                test_scores, np.asarray(ent_to_ent_data["scores"]), n_anc, seed=seed
+            )
+    else:
+        raise NotImplementedError(f"method={method!r}")
+
+    result: Dict = defaultdict(lambda: defaultdict(dict))
+    for top_k_retvr in top_k_retvr_vals:
+        for n_anc, approx in approx_per_budget.items():
+            per_topk = eval_approx_for_all_topk(
+                test_scores, approx, top_k_vals, top_k_retvr
+            )
+            for top_k, metrics in per_topk.items():
+                result[f"top_k={top_k}"][f"k_retvr={top_k_retvr}"][
+                    f"anc_n_e={n_anc}"
+                ] = metrics
+
+    result = json.loads(json.dumps(result))
+    result["other_args"] = {
+        "method": method,
+        "seed": seed,
+        "top_k_vals": top_k_vals,
+        "top_k_retvr_vals": top_k_retvr_vals,
+        "n_ent_anchors_vals": list(n_ent_anchors_vals),
+        "n_test": n_test,
+        "n_ents": n_ents,
+        "cost_model": "cost = top_k_retvr + n_ent_anchors for cur, "
+        "top_k_retvr for bienc/tfidf",
+    }
+    out_dir = os.path.join(res_dir, f"method={method}_s={seed}{misc}")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "res.json"), "w") as fout:
+        json.dump(result, fout, indent=4)
+    return result

@@ -1,0 +1,71 @@
+"""Combine chunked score-matrix computations.
+
+Parity with the reference chunk combiner
+(eval/combine_chunked_computations.py:125-250): concatenates per-chunk
+outputs in mention order, asserting that entity id/token lists are
+identical across chunks. Chunks here are the .npz files written by
+ScoreMatrixBuilder (or full reference-style pickles via
+``combine_pickles``).
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+from anncur_tpu.indexer.score_matrix import load_score_matrix, save_score_matrix
+
+LOGGER = logging.getLogger(__name__)
+
+
+def combine_chunks(chunk_dir: str, n_ments: Optional[int] = None) -> np.ndarray:
+    """Concatenate chunk_<start>.npz files into a full score matrix."""
+    files = glob.glob(os.path.join(chunk_dir, "chunk_*.npz"))
+    if not files:
+        raise FileNotFoundError(f"no chunk files in {chunk_dir}")
+    chunks = []
+    for f in files:
+        data = np.load(f)
+        chunks.append((int(data["row_start"]), data["scores"]))
+    chunks.sort(key=lambda c: c[0])
+    expect = 0
+    rows: List[np.ndarray] = []
+    for start, scores in chunks:
+        if start != expect:
+            raise ValueError(f"chunk gap: expected row {expect}, found chunk at {start}")
+        rows.append(scores)
+        expect = start + scores.shape[0]
+    out = np.concatenate(rows, axis=0)
+    if n_ments is not None and out.shape[0] != n_ments:
+        raise ValueError(f"combined {out.shape[0]} rows != expected {n_ments}")
+    return out
+
+
+def combine_pickles(chunk_paths: List[str], out_path: str, overwrite: bool = False) -> None:
+    """Combine reference-format score-matrix pickles (mention-range
+    chunks of one world) into a single pickle; asserts identical entity
+    lists (reference: combine_chunked_computations.py:209-210)."""
+    if os.path.exists(out_path) and not overwrite:
+        raise FileExistsError(f"{out_path} exists; pass overwrite=True")
+    datas = [load_score_matrix(p) for p in chunk_paths]
+    ent_ids = datas[0]["entity_id_list"]
+    for d in datas[1:]:
+        if not np.array_equal(d["entity_id_list"], ent_ids):
+            raise ValueError("entity_id_list mismatch across chunks")
+    scores = np.concatenate([d["ment_to_ent_scores"] for d in datas], axis=0)
+    ment_tokens = np.concatenate([d["mention_tokens_list"] for d in datas], axis=0)
+    save_score_matrix(
+        out_path,
+        ment_to_ent_scores=scores,
+        mention_tokens_list=ment_tokens,
+        entity_id_list=ent_ids,
+        entity_tokens_list=datas[0].get("entity_tokens_list"),
+        test_data=[d.get("test_data") for d in datas],
+        arg_dict={"combined_from": chunk_paths},
+    )
+    LOGGER.info("combined %d chunks -> %s (%s)", len(datas), out_path, scores.shape)

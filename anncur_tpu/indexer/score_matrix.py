@@ -1,0 +1,257 @@
+"""Offline index build: the (n_ment x n_ent) exact cross-encoder score
+matrix, computed as a mesh-sharded SPMD program.
+
+This is the reference's single most expensive workload
+(eval/run_cross_encoder_for_ment_ent_matrix_zeshel.py:166-281 — ~34M BERT
+pair forwards for yugioh), which it scales by slicing mention ranges
+across SLURM jobs. TPU-native design instead:
+
+- entities are sharded across the mesh 'data' axis; each device scores
+  every mention block against only its entity shard (embarrassingly
+  parallel, zero collectives in the hot loop),
+- pair construction (mention ⧺ entity[1:], reference semantics
+  utils/data_process.py:949-959) happens device-side with broadcast +
+  concat — no host loops, no host->device pair traffic; only the tiny
+  mention block and the final score rows cross the host boundary,
+- fixed shapes: entity shards pad to a multiple of the entity block and
+  scores at padded columns are dropped on the host,
+- mention blocks checkpoint to disk as chunk files for preemption
+  safety (reference chunk protocol, combine_chunked_computations.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import pickle
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from anncur_tpu.models.crossencoder import CrossEncoder
+
+LOGGER = logging.getLogger(__name__)
+
+
+def build_pairs(ment_block: jax.Array, ent_block: jax.Array, pair_len: int) -> jax.Array:
+    """Device-side pair tokens: (Bm, Lm) x (Be, Le) -> (Bm*Be, pair_len).
+
+    pair = mention ⧺ entity[1:] (entity CLS dropped), zero-padded to
+    ``pair_len`` (padding is masked inside the encoder).
+    """
+    bm, lm = ment_block.shape
+    be, le = ent_block.shape
+    left = jnp.broadcast_to(ment_block[:, None, :], (bm, be, lm))
+    right = jnp.broadcast_to(ent_block[None, :, 1:], (bm, be, le - 1))
+    pairs = jnp.concatenate([left, right], axis=-1).reshape(bm * be, lm + le - 1)
+    if pair_len > lm + le - 1:
+        pairs = jnp.pad(pairs, ((0, 0), (0, pair_len - (lm + le - 1))))
+    return pairs
+
+
+@dataclasses.dataclass
+class ScoreMatrixBuilder:
+    """Sharded exact-score-matrix computation.
+
+    ``ment_block``: mentions scored per device step.
+    ``ent_block``: entity chunk per inner loop iteration; the CE forward
+    batch is ment_block * ent_block pairs.
+    """
+
+    encoder: CrossEncoder
+    mesh: Mesh
+    axis: str = "data"
+    ment_block: int = 8
+    ent_block: int = 64
+    pair_pad_multiple: int = 128
+
+    def _make_step(self, params, lm: int, le: int, n_e_shard: int):
+        pair_len = lm + le - 1
+        rem = (-pair_len) % self.pair_pad_multiple
+        pair_len += rem
+        n_chunks = n_e_shard // self.ent_block
+        enc = self.encoder
+        bm, be = self.ment_block, self.ent_block
+
+        def local_fn(p, ment_block_toks, ent_shard):
+            def body(c, acc):
+                ents = lax.dynamic_slice_in_dim(ent_shard, c * be, be, axis=0)
+                pairs = build_pairs(ment_block_toks, ents, pair_len)
+                scores = enc.score(p, pairs, first_segment_end=lm)
+                return lax.dynamic_update_slice_in_dim(
+                    acc, scores.reshape(bm, be), c * be, axis=1
+                )
+
+            acc = jnp.zeros((bm, n_e_shard), jnp.float32)
+            return lax.fori_loop(0, n_chunks, body, acc)
+
+        fn = shard_map(
+            local_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(self.axis)),
+            out_specs=P(None, self.axis),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def __call__(
+        self,
+        params,
+        ment_tokens: np.ndarray,  # (n_m, Lm)
+        ent_tokens: np.ndarray,  # (n_e, Le)
+        progress_cb: Optional[Callable[[float], None]] = None,
+        chunk_dir: Optional[str] = None,
+        chunk_rows: int = 512,
+    ) -> np.ndarray:
+        """Returns the full (n_m, n_e) float32 score matrix on host.
+
+        When ``chunk_dir`` is set, every ``chunk_rows`` mention rows are
+        written as ``chunk_<start>.npz`` (resume: existing chunks are
+        loaded, not recomputed).
+        """
+        import os
+
+        n_m, lm = ment_tokens.shape
+        n_e, le = ent_tokens.shape
+        n_dev = self.mesh.shape[self.axis]
+
+        shard_mult = n_dev * self.ent_block
+        n_e_pad = n_e + ((-n_e) % shard_mult)
+        ent_padded = np.zeros((n_e_pad, le), ent_tokens.dtype)
+        ent_padded[:n_e] = ent_tokens
+        n_e_shard = n_e_pad // n_dev
+
+        step = self._make_step(params, lm, le, n_e_shard)
+        ent_sharded = jax.device_put(
+            jnp.asarray(ent_padded), NamedSharding(self.mesh, P(self.axis))
+        )
+        params = jax.device_put(params, NamedSharding(self.mesh, P()))
+
+        out = np.zeros((n_m, n_e), np.float32)
+        bm = self.ment_block
+        t0 = time.time()
+
+        chunk_start = 0
+        chunk_buf = []
+
+        def flush_chunk(start, rows):
+            if chunk_dir is not None and rows:
+                os.makedirs(chunk_dir, exist_ok=True)
+                np.savez_compressed(
+                    os.path.join(chunk_dir, f"chunk_{start}.npz"),
+                    scores=np.concatenate(rows, axis=0),
+                    row_start=start,
+                )
+
+        i = 0
+        while i < n_m:
+            if chunk_dir is not None:
+                cpath = os.path.join(chunk_dir, f"chunk_{i}.npz")
+                if os.path.exists(cpath) and i % chunk_rows == 0:
+                    data = np.load(cpath)
+                    rows = data["scores"]
+                    out[i : i + rows.shape[0]] = rows[:, :n_e]
+                    i += rows.shape[0]
+                    chunk_start = i
+                    continue
+            block = np.zeros((bm, lm), ment_tokens.dtype)
+            take = min(bm, n_m - i)
+            block[:take] = ment_tokens[i : i + take]
+            scores = np.asarray(jax.device_get(step(params, jnp.asarray(block), ent_sharded)))
+            out[i : i + take] = scores[:take, :n_e]
+            chunk_buf.append(scores[:take, :n_e])
+            i += take
+            if chunk_dir is not None and (i - chunk_start >= chunk_rows or i >= n_m):
+                flush_chunk(chunk_start, chunk_buf)
+                chunk_start = i
+                chunk_buf = []
+            if progress_cb is not None:
+                progress_cb(i / n_m)
+        LOGGER.info(
+            "score matrix %dx%d built in %.1fs (%.0f pairs/s)",
+            n_m,
+            n_e,
+            time.time() - t0,
+            n_m * n_e / max(time.time() - t0, 1e-9),
+        )
+        return out
+
+    # ---------------- paired embeddings mode -------------------------- #
+
+    def paired_embeds(
+        self,
+        params,
+        ment_tokens: np.ndarray,
+        ent_tokens: np.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(n_m, n_e, h) mention and entity contextual embeddings from the
+        joint forward (reference mode=embeds,
+        run_cross_encoder_for_ment_ent_matrix_zeshel.py:126-163). Use for
+        small n_m only — output is O(n_m * n_e * h)."""
+        n_m, lm = ment_tokens.shape
+        n_e, le = ent_tokens.shape
+        pair_len = lm + le - 1
+        pair_len += (-pair_len) % self.pair_pad_multiple
+        enc = self.encoder
+
+        @jax.jit
+        def step(p, ment_row, ents):
+            pairs = build_pairs(ment_row[None, :], ents, pair_len)
+            return enc.embed_paired(p, pairs, first_segment_end=lm)
+
+        m_out = []
+        e_out = []
+        for i in range(n_m):
+            m_emb, e_emb = step(params, jnp.asarray(ment_tokens[i]), jnp.asarray(ent_tokens))
+            m_out.append(np.asarray(m_emb))
+            e_out.append(np.asarray(e_emb))
+        return np.stack(m_out), np.stack(e_out)
+
+
+# --------------------------------------------------------------------- #
+# on-disk format (reference pickle schema parity,
+# run_cross_encoder_for_ment_ent_matrix_zeshel.py:230-240)
+# --------------------------------------------------------------------- #
+
+
+def save_score_matrix(
+    path: str,
+    ment_to_ent_scores: np.ndarray,
+    mention_tokens_list: np.ndarray,
+    entity_id_list: np.ndarray,
+    entity_tokens_list: Optional[np.ndarray] = None,
+    test_data: Any = None,
+    arg_dict: Optional[Dict] = None,
+) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fout:
+        pickle.dump(
+            {
+                "ment_to_ent_scores": np.asarray(ment_to_ent_scores),
+                "test_data": test_data,
+                "mention_tokens_list": np.asarray(mention_tokens_list),
+                "entity_id_list": np.asarray(entity_id_list),
+                "entity_tokens_list": None if entity_tokens_list is None else np.asarray(entity_tokens_list),
+                "arg_dict": arg_dict or {},
+            },
+            fout,
+        )
+
+
+def load_score_matrix(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as fin:
+        data = pickle.load(fin)
+    # tolerate torch tensors in reference-produced pickles
+    for key in ("ment_to_ent_scores", "mention_tokens_list", "entity_id_list", "entity_tokens_list"):
+        val = data.get(key)
+        if val is not None and hasattr(val, "numpy"):
+            data[key] = val.numpy()
+    return data

@@ -1,0 +1,126 @@
+"""Data layer tests: representation builders vs reference semantics,
+raw loaders round-trip, tf-idf parity with sklearn."""
+
+import numpy as np
+import pytest
+
+from anncur_tpu.data import (
+    create_input_label_pair,
+    get_candidate_representation,
+    get_context_representation,
+    get_dataset_info,
+    get_zeshel_world_info,
+    load_entities,
+    load_mentions,
+    tokenize_entities,
+    tokenize_mentions,
+)
+from anncur_tpu.data.synthetic import make_tokenizer, make_world, write_world_files
+from anncur_tpu.data.tfidf import TfidfVectorizer, compute_ent_embeds_w_tfidf
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return make_tokenizer()
+
+
+def test_context_representation_structure(tokenizer):
+    sample = {
+        "mention": "alpha beta",
+        "context_left": "gamma delta " * 30,  # long left context
+        "context_right": "epsilon",
+    }
+    rep = get_context_representation(sample, tokenizer, 32)
+    assert len(rep["ids"]) == 32
+    toks = rep["tokens"]
+    assert toks[0] == "[CLS]" and toks[-1] == "[SEP]"
+    i0, i1 = toks.index("[unused0]"), toks.index("[unused1]")
+    assert i0 < i1
+    assert toks[i0 + 1 : i1] == tokenizer.tokenize("alpha beta")
+    # right context short -> left quota expands (reference quota balancing)
+    assert toks[i1 + 1 : -1] == tokenizer.tokenize("epsilon")
+
+
+def test_context_rep_quota_overflow_right(tokenizer):
+    sample = {
+        "mention": "alpha",
+        "context_left": "beta",
+        "context_right": "gamma delta " * 30,
+    }
+    rep = get_context_representation(sample, tokenizer, 24)
+    assert len(rep["ids"]) == 24
+    assert rep["ids"][-1] != 0  # fully used
+
+
+def test_candidate_representation(tokenizer):
+    rep = get_candidate_representation("epsilon zeta", tokenizer, 16, candidate_title="alpha")
+    toks = rep["tokens"]
+    assert toks[0] == "[CLS]" and toks[-1] == "[SEP]"
+    assert "[unused2]" in toks
+    ti = toks.index("[unused2]")
+    assert toks[1:ti] == tokenizer.tokenize("alpha")
+    assert len(rep["ids"]) == 16
+
+
+def test_create_input_label_pair():
+    pair = create_input_label_pair([101, 5, 6, 102], [101, 7, 8, 102])
+    np.testing.assert_array_equal(pair, [101, 5, 6, 102, 7, 8, 102])
+
+
+def test_world_files_roundtrip(tmp_path, rng):
+    mentions, entities = make_world(rng, n_ents=10, n_ments=6)
+    files = write_world_files(str(tmp_path), mentions, entities)
+    kb2local, ents = load_entities(files["ent_file"])
+    assert len(ents) == 10 and kb2local["E3"] == 3
+    loaded = load_mentions(files["ment_file"], kb2local)
+    assert len(loaded) == 6
+    assert loaded[0]["label_id"] == mentions[0]["label_id"]
+    assert loaded[0]["mention"] == mentions[0]["mention"].lower()
+
+
+def test_tokenize_matrices(tokenizer, rng):
+    mentions, entities = make_world(rng, n_ents=5, n_ments=4)
+    mt = tokenize_mentions(mentions, tokenizer, 32)
+    et = tokenize_entities(entities, tokenizer, 32)
+    assert mt.shape == (4, 32) and et.shape == (5, 32)
+    assert mt.dtype == np.int32
+    assert (mt[:, 0] == tokenizer.vocab["[CLS]"]).all()
+
+
+def test_registry():
+    worlds = get_zeshel_world_info()
+    assert ("test", "yugioh") in worlds and len(worlds) == 16
+    info = get_dataset_info("/data", "/res", worlds, n_ment=100)
+    assert "yugioh" in info
+    assert info["yugioh"]["crossenc_ment_to_ent_scores"].endswith(
+        "ment_to_ent_scores_n_m_100_n_e_10031_all_layers_False.pkl"
+    )
+
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaped over dogs",
+    "entity linking with cross encoders",
+    "tpu kernels and matrix factorization",
+    "the the the repeated words words",
+]
+
+
+def test_tfidf_matches_sklearn():
+    sk = pytest.importorskip("sklearn.feature_extraction.text")
+    ours = TfidfVectorizer().fit(CORPUS)
+    ref = sk.TfidfVectorizer(dtype=np.float32).fit(CORPUS)
+    assert set(ours.vocabulary_) == set(ref.vocabulary_)
+    got = ours.transform(CORPUS + ["fox dog unseen tokens"])
+    want = ref.transform(CORPUS + ["fox dog unseen tokens"]).toarray()
+    # align columns
+    perm = [ours.vocabulary_[t] for t in sorted(ref.vocabulary_, key=ref.vocabulary_.get)]
+    np.testing.assert_allclose(got[:, perm], want, atol=1e-6)
+
+
+def test_tfidf_entity_embeds(rng):
+    _, entities = make_world(rng, n_ents=8, n_ments=2)
+    emb = compute_ent_embeds_w_tfidf(entities)
+    assert emb.shape[0] == 8
+    norms = np.linalg.norm(emb, axis=1)
+    np.testing.assert_allclose(norms[norms > 0], 1.0, atol=1e-5)
