@@ -1,0 +1,165 @@
+"""Fused matmul + running-top-k MIPS kernels.
+
+For large item sets the naive path materializes the (n_queries, n_items)
+score matrix in HBM before ``lax.top_k`` — at ZeShEL-military scale
+(13k x 104k f32 = 5.4 GB) that wastes HBM bandwidth, the usual TPU
+bottleneck. Two implementations that stream item tiles and keep only a
+(q, k) running top-k on chip:
+
+- :func:`mips_topk_streaming` — pure-XLA ``lax.scan`` over item chunks
+  (portable: CPU/TPU, any backend; merge = concat + top_k per chunk).
+- :func:`mips_topk_pallas` — Pallas kernel: item tiles are pipelined
+  HBM->VMEM by the Pallas grid machinery, scores come off the MXU into a
+  VMEM scratch accumulator, merged per tile; only the final (q, k)
+  leaves the chip.
+
+Both are tested for exact index equality against the brute-force oracle.
+
+Mosaic note (measured on v5e, jax 0.9): ``lax.top_k`` / ``lax.sort`` have
+no Pallas-TPU lowering, so the in-kernel merge of :func:`mips_topk_pallas`
+only runs in interpret mode / future Mosaic versions. On TPU hardware the
+production fused path is :func:`mips_topk_streaming` — per-chunk matmul
+and top-k fuse inside one XLA while-loop body with identical memory
+behavior. :func:`fused_mips_topk` dispatches accordingly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF_F32 = -3.0e38  # python float: pallas kernels cannot capture traced constants
+
+
+def fused_mips_topk(queries, items, k, chunk: int = 4096):
+    """Memory-bounded exact MIPS for large item sets: never materializes
+    the (q, n) score matrix. Dispatches to the streaming XLA path (TPU
+    hardware; see Mosaic note above) — the Pallas kernel is kept for
+    backends where in-kernel top_k lowers."""
+    return mips_topk_streaming(queries, items, k, chunk=chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def mips_topk_streaming(
+    queries: jax.Array,  # (q, d)
+    items: jax.Array,  # (n, d); pad so n % chunk == 0 for best layout
+    k: int,
+    chunk: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming exact MIPS: O(q*k + chunk*d) live memory."""
+    q, d = queries.shape
+    n = items.shape[0]
+    chunk = min(chunk, n)
+    n_pad = n + ((-n) % chunk)
+    if n_pad != n:
+        items = jnp.concatenate(
+            [items, jnp.zeros((n_pad - n, d), items.dtype)], axis=0
+        )
+    n_chunks = n_pad // chunk
+    items = items.reshape(n_chunks, chunk, d)
+
+    init_scores = jnp.full((q, k), NEG_INF_F32, jnp.float32)
+    init_idx = jnp.zeros((q, k), jnp.int32)
+
+    def body(carry, inp):
+        run_s, run_i = carry
+        tile, c = inp
+        scores = jnp.dot(
+            queries, tile.T, preferred_element_type=jnp.float32, precision="highest"
+        )  # (q, chunk)
+        col = c * chunk + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < n, scores, NEG_INF_F32)
+        comb_s = jnp.concatenate([run_s, scores], axis=1)
+        comb_i = jnp.concatenate([run_i, col], axis=1)
+        new_s, pos = lax.top_k(comb_s, k)
+        new_i = jnp.take_along_axis(comb_i, pos, axis=1)
+        return (new_s, new_i), None
+
+    (scores, idx), _ = lax.scan(
+        body, (init_scores, init_idx), (items, jnp.arange(n_chunks))
+    )
+    return scores, idx
+
+
+def _mips_kernel(q_ref, item_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k, tile, n_valid):
+    """Pallas kernel body: one grid step = one item tile.
+
+    acc_s/acc_i: VMEM scratch (q, k) running top-k, persists across grid
+    steps (TPU grid is sequential on a core).
+    """
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        acc_s[:] = jnp.full_like(acc_s, NEG_INF_F32)
+        acc_i[:] = jnp.zeros_like(acc_i)
+
+    scores = jnp.dot(
+        q_ref[:], item_ref[:].T, preferred_element_type=jnp.float32
+    )  # (q, tile)
+    col = t * tile + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < n_valid, scores, NEG_INF_F32)
+
+    comb_s = jnp.concatenate([acc_s[:], scores], axis=1)  # (q, k + tile)
+    comb_i = jnp.concatenate([acc_i[:], col], axis=1)
+    new_s, pos = lax.top_k(comb_s, k)
+    acc_s[:] = new_s
+    acc_i[:] = jnp.take_along_axis(comb_i, pos, axis=1)
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+def mips_topk_pallas(
+    queries: jax.Array,  # (q, d)
+    items: jax.Array,  # (n, d)
+    k: int,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused Pallas MIPS. Queries stay resident in VMEM; item tiles are
+    double-buffered HBM->VMEM by the grid pipeline; the (q, n) score
+    matrix never exists."""
+    q, d = queries.shape
+    n = items.shape[0]
+    tile = min(tile, max(128, 1 << int(np.ceil(np.log2(max(n, 1))))))
+    n_pad = n + ((-n) % tile)
+    if n_pad != n:
+        items = jnp.concatenate(
+            [items, jnp.zeros((n_pad - n, d), items.dtype)], axis=0
+        )
+    n_tiles = n_pad // tile
+
+    kernel = functools.partial(_mips_kernel, k=k, tile=tile, n_valid=n)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((q, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q, k), jnp.float32),
+            jax.ShapeDtypeStruct((q, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q, k), jnp.float32),
+            pltpu.VMEM((q, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries, items)
+    return out_s, out_i

@@ -1,0 +1,98 @@
+"""Checkpointing: pytree save/load + top-k retention by dev metric.
+
+Parity with the reference's two ModelCheckpoint callbacks (top-k by
+dev_{loss|mrr} and end-of-epoch 'eoe-{epoch}-last',
+models/pairwise_trainer.py:214-237) and its prefix-stripping state-dict
+loader (models/biencoder.py:386-409). Format: pickled numpy pytrees +
+a JSON manifest (no framework lock-in; orbax-free by design so restore
+works anywhere numpy does).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+LOGGER = logging.getLogger(__name__)
+
+
+def save_pytree(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host_tree = jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    with open(path, "wb") as fout:
+        pickle.dump({"tree": host_tree, "metadata": metadata or {}}, fout)
+
+
+def load_pytree(path: str) -> Tuple[Any, Dict]:
+    with open(path, "rb") as fin:
+        data = pickle.load(fin)
+    return data["tree"], data.get("metadata", {})
+
+
+class TopKCheckpointManager:
+    """Keep the best-k checkpoints by a metric (mode 'min' or 'max') plus
+    rolling end-of-epoch checkpoints."""
+
+    def __init__(self, ckpt_dir: str, k: int = 2, metric: str = "loss", mode: str = "min"):
+        self.ckpt_dir = ckpt_dir
+        self.k = k
+        self.metric = metric
+        self.mode = mode
+        self.manifest_path = os.path.join(ckpt_dir, "manifest.json")
+        self.entries: List[Dict] = []
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as fin:
+                self.entries = json.load(fin).get("topk", [])
+
+    def _better(self, a: float, b: float) -> bool:
+        return a < b if self.mode == "min" else a > b
+
+    def _write_manifest(self) -> None:
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        with open(self.manifest_path, "w") as fout:
+            json.dump(
+                {"topk": self.entries, "metric": self.metric, "mode": self.mode},
+                fout,
+                indent=2,
+            )
+
+    def maybe_save(self, tree: Any, value: float, step: int, epoch: int) -> Optional[str]:
+        """Save if the value ranks in the current top-k; evict the worst."""
+        name = f"{self.metric}={value:.6f}-step={step}.ckpt"
+        path = os.path.join(self.ckpt_dir, name)
+        entry = {"path": path, "value": float(value), "step": int(step), "epoch": int(epoch)}
+        candidates = self.entries + [entry]
+        candidates.sort(key=lambda e: e["value"], reverse=self.mode == "max")
+        keep = candidates[: self.k]
+        if entry not in keep:
+            return None
+        save_pytree(path, tree, metadata=entry)
+        for old in self.entries:
+            if old not in keep and os.path.exists(old["path"]):
+                os.remove(old["path"])
+        self.entries = keep
+        self._write_manifest()
+        return path
+
+    def save_end_of_epoch(self, tree: Any, epoch: int, step: int) -> str:
+        path = os.path.join(self.ckpt_dir, f"eoe-{epoch}-last.ckpt")
+        save_pytree(path, tree, metadata={"epoch": int(epoch), "step": int(step)})
+        with open(os.path.join(self.ckpt_dir, "last.json"), "w") as fout:
+            json.dump({"path": path, "epoch": int(epoch), "step": int(step)}, fout)
+        return path
+
+    def best_path(self) -> Optional[str]:
+        return self.entries[0]["path"] if self.entries else None
+
+    def latest_eoe(self) -> Optional[Dict]:
+        meta = os.path.join(self.ckpt_dir, "last.json")
+        if os.path.exists(meta):
+            with open(meta) as fin:
+                return json.load(fin)
+        return None

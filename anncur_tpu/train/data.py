@@ -1,0 +1,172 @@
+"""Dataset assembly: tokenized tensors + negatives -> train batches.
+
+Parity with reference utils/data_process.py:466-946 (get_dataloader /
+get_ent_link_dataset / get_ent_link_ce_dataset): bi-encoder batches
+(input, pos, negs[b,n,L]), cross-encoder pair batches (pos_pairs,
+neg_pairs[b,n,2L]), and distillation batches (top-N labels + teacher
+scores). Negatives can be re-mined each epoch with the current bi-encoder
+(the reference's epoch-dependent EntLinkData behavior,
+models/pairwise_trainer.py:133-164).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from anncur_tpu.data.tokenization import create_input_label_pair
+from anncur_tpu.train import negatives as negs_mod
+
+LOGGER = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class EntLinkDataset:
+    """Tokenized arrays for one (or merged) world(s)."""
+
+    mention_tokens: np.ndarray  # (n_m, Lm)
+    entity_tokens: np.ndarray  # (n_e, Le)
+    gt_labels: np.ndarray  # (n_m,)
+    mention_texts: Optional[Sequence[str]] = None
+    entities: Optional[Sequence] = None  # [(title, desc)]
+    score_matrix: Optional[np.ndarray] = None  # teacher scores for distill
+
+    @property
+    def n_ments(self) -> int:
+        return self.mention_tokens.shape[0]
+
+    @property
+    def n_ents(self) -> int:
+        return self.entity_tokens.shape[0]
+
+
+def mine_negatives(
+    data: EntLinkDataset,
+    neg_strategy: str,
+    num_negs: int,
+    seed: int = 0,
+    input_embeds: Optional[np.ndarray] = None,
+    label_embeds: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """(n_m, num_negs) negative label ids per strategy
+    (reference dispatch: get_ent_link_dataset, data_process.py:629-687)."""
+    if neg_strategy in ("random", "dummy"):
+        return negs_mod.get_random_negs(data.gt_labels, data.n_ents, num_negs, seed)
+    if neg_strategy == "bienc_hard_negs":
+        if input_embeds is None or label_embeds is None:
+            raise ValueError("bienc_hard_negs requires current-tower embeddings")
+        return negs_mod.get_hard_negs_from_embeds(
+            input_embeds, label_embeds, data.gt_labels, num_negs
+        )
+    if neg_strategy == "tfidf_hard_negs":
+        if data.mention_texts is None or data.entities is None:
+            raise ValueError("tfidf_hard_negs requires raw texts")
+        return negs_mod.get_hard_negs_tfidf(
+            data.mention_texts, data.entities, data.gt_labels, num_negs
+        )
+    if neg_strategy == "precomp":
+        if data.score_matrix is None:
+            raise ValueError("precomp negatives require a score matrix")
+        top = negs_mod.get_precomputed_ents_w_scores(data.score_matrix, num_negs + 1)
+        out = np.empty((data.n_ments, num_negs), np.int64)
+        for i, gt in enumerate(data.gt_labels):
+            row = [j for j in top["indices"][i] if j != gt][:num_negs]
+            while len(row) < num_negs:
+                row.append(row[-1])
+            out[i] = row
+        return out
+    raise NotImplementedError(f"neg_strategy={neg_strategy!r}")
+
+
+def bienc_batches(
+    data: EntLinkDataset,
+    neg_labels: np.ndarray,  # (n_m, n_negs)
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_remainder: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields {'input': (b,Lm), 'pos': (b,Le), 'negs': (b,n,Le)}.
+    Fixed batch shapes (last partial batch dropped or padded-by-wrap:
+    static shapes keep one XLA program)."""
+    order = np.arange(data.n_ments)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    n = data.n_ments
+    for i in range(0, n, batch_size):
+        idx = order[i : i + batch_size]
+        if len(idx) < batch_size:
+            if drop_remainder and n >= batch_size:
+                return
+            idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+        yield {
+            "input": data.mention_tokens[idx],
+            "pos": data.entity_tokens[data.gt_labels[idx]],
+            "negs": data.entity_tokens[neg_labels[idx]],
+        }
+
+
+def crossenc_batches(
+    data: EntLinkDataset,
+    neg_labels: np.ndarray,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_remainder: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields {'pos_pairs': (b, Lp), 'neg_pairs': (b, n, Lp)} where
+    Lp = Lm + Le - 1 (pair concat dropping the entity CLS,
+    reference: _get_paired_token_idxs, data_process.py:917-946)."""
+    lm = data.mention_tokens.shape[1]
+    le = data.entity_tokens.shape[1]
+    lp = lm + le - 1
+    order = np.arange(data.n_ments)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    n = data.n_ments
+    num_negs = neg_labels.shape[1]
+    for i in range(0, n, batch_size):
+        idx = order[i : i + batch_size]
+        if len(idx) < batch_size:
+            if drop_remainder and n >= batch_size:
+                return
+            idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+        b = len(idx)
+        pos_pairs = np.empty((b, lp), np.int32)
+        neg_pairs = np.empty((b, num_negs, lp), np.int32)
+        for row, j in enumerate(idx):
+            m = data.mention_tokens[j]
+            pos_pairs[row] = create_input_label_pair(m, data.entity_tokens[data.gt_labels[j]])
+            for t, nl in enumerate(neg_labels[j]):
+                neg_pairs[row, t] = create_input_label_pair(m, data.entity_tokens[nl])
+        yield {"pos_pairs": pos_pairs, "neg_pairs": neg_pairs, "first_segment_end": lm}
+
+
+def distill_batches(
+    data: EntLinkDataset,
+    top_n_labels: int,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields {'input': (b,Lm), 'labels': (b,N,Le), 'target_scores': (b,N)}
+    for bi-encoder distillation from teacher CE scores (reference
+    'top_ce_match' dataset, data_process.py:706-868)."""
+    if data.score_matrix is None:
+        raise ValueError("distillation requires a teacher score matrix")
+    top = negs_mod.get_precomputed_ents_w_scores(data.score_matrix, top_n_labels)
+    order = np.arange(data.n_ments)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for i in range(0, data.n_ments, batch_size):
+        idx = order[i : i + batch_size]
+        if len(idx) < batch_size and data.n_ments >= batch_size:
+            idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+        yield {
+            "input": data.mention_tokens[idx],
+            "labels": data.entity_tokens[top["indices"][idx]],
+            "target_scores": top["scores"][idx],
+        }

@@ -1,0 +1,329 @@
+"""Data-parallel training runtime.
+
+Replaces the reference's PyTorch-Lightning trainer
+(models/pairwise_trainer.py:168-266) with an SPMD jit train step over a
+device mesh: the batch is sharded along the 'data' axis, params are
+replicated, and XLA emits the gradient all-reduce over ICI — no DDP
+process groups, no NCCL, no module (un)wrapping. Gradient accumulation
+runs as a ``lax.scan`` over micro-batches inside the step (one compiled
+program), matching the reference's grad_acc_steps semantics.
+
+Supports bi-encoder (explicit / in-batch negatives, distillation) and
+cross-encoder training, epoch-wise hard-negative re-mining with the
+current towers, top-k + end-of-epoch checkpointing, and resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from anncur_tpu.config import Config
+from anncur_tpu.models.biencoder import BiEncoder
+from anncur_tpu.models.crossencoder import CrossEncoder
+from anncur_tpu.train import data as data_mod
+from anncur_tpu.train.checkpoint import TopKCheckpointManager, load_pytree, save_pytree
+from anncur_tpu.train.losses import (
+    bienc_loss_in_batch_negs,
+    bienc_loss_w_negs,
+    crossenc_loss,
+    distill_loss,
+    mrr_from_scores,
+)
+from anncur_tpu.train.optimizer import make_optimizer
+
+LOGGER = logging.getLogger(__name__)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("params", "opt_state", "step", "rng"),
+    meta_fields=(),
+)
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+
+class Trainer:
+    """model_type 'bi_enc' | 'cross_enc' with the reference's loss zoo."""
+
+    def __init__(
+        self,
+        config: Config,
+        model,  # BiEncoder | CrossEncoder
+        mesh: Optional[Mesh] = None,
+        total_steps: int = 10000,
+    ):
+        self.config = config
+        self.model = model
+        self.mesh = mesh
+        self.total_steps = total_steps
+        self.is_bienc = isinstance(model, BiEncoder)
+        self._tx: Optional[optax.GradientTransformation] = None
+        self._train_step = None
+        self._ckpt = TopKCheckpointManager(
+            os.path.join(config.result_dir, "model"),
+            k=config.num_top_k_ckpts,
+            metric=config.ckpt_metric,
+            mode="min" if config.ckpt_metric == "loss" else "max",
+        )
+
+    # ---------------- state ------------------------------------------- #
+
+    def init_state(self, key: Optional[jax.Array] = None) -> TrainState:
+        key = key if key is not None else self.config.prng_key()
+        k_init, k_train = jax.random.split(key)
+        params = self.model.init(k_init)
+        self._tx = make_optimizer(
+            params,
+            learning_rate=self.config.learning_rate,
+            weight_decay=self.config.weight_decay,
+            total_steps=self.total_steps,
+            warmup_proportion=self.config.warmup_proportion,
+            max_grad_norm=self.config.max_grad_norm,
+            type_optimization=self.config.type_optimization or "all",
+        )
+        state = TrainState(
+            params=params,
+            opt_state=self._tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=k_train,
+        )
+        if self.mesh is not None:
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
+
+    # ---------------- losses ------------------------------------------ #
+
+    def _loss_fn(self, params, batch, rng) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        cfg = self.config
+        if self.is_bienc:
+            enc = self.model
+            if "target_scores" in batch:  # distillation
+                inp = enc.encode_input(params, batch["input"], train=True, rng=rng)
+                b, n, l = batch["labels"].shape
+                lab = enc.encode_label(
+                    params, batch["labels"].reshape(b * n, l), train=True, rng=rng
+                ).reshape(b, n, -1)
+                pred = jnp.sum(lab * inp[:, None, :], axis=2)
+                loss = distill_loss(pred, batch["target_scores"])
+                return loss, {"loss": loss}
+            inp = enc.encode_input(params, batch["input"], train=True, rng=rng)
+            pos = enc.encode_label(params, batch["pos"], train=True, rng=rng)
+            if "negs" in batch:
+                b, n, l = batch["negs"].shape
+                neg = enc.encode_label(
+                    params, batch["negs"].reshape(b * n, l), train=True, rng=rng
+                ).reshape(b, n, -1)
+                loss = bienc_loss_w_negs(inp, pos, neg, cfg.loss_type, cfg.hinge_margin)
+                pos_scores = jnp.sum(inp * pos, axis=1)
+                neg_scores = jnp.sum(neg * inp[:, None, :], axis=2)
+                return loss, {"loss": loss, "mrr": mrr_from_scores(pos_scores, neg_scores)}
+            loss = bienc_loss_in_batch_negs(inp, pos, cfg.loss_type, cfg.hinge_margin)
+            return loss, {"loss": loss}
+        # cross-encoder
+        enc = self.model
+        fse = getattr(self, "_fse", None) or cfg.max_input_len
+        pos_scores = enc.score(params, batch["pos_pairs"], fse, train=True, rng=rng)
+        b, n, l = batch["neg_pairs"].shape
+        neg_scores = enc.score(
+            params, batch["neg_pairs"].reshape(b * n, l), fse, train=True, rng=rng
+        ).reshape(b, n)
+        loss = crossenc_loss(pos_scores, neg_scores, cfg.loss_type)
+        return loss, {"loss": loss, "mrr": mrr_from_scores(pos_scores, neg_scores)}
+
+    # ---------------- train step -------------------------------------- #
+
+    def make_train_step(self):
+        """jit step with internal micro-batch scan (grad accumulation)."""
+        tx = self._tx
+        assert tx is not None, "call init_state first"
+
+        def step_fn(state: TrainState, batch):
+            rng, new_rng = jax.random.split(state.rng)
+
+            def micro(carry, mb):
+                grads_acc, loss_acc = carry
+                (loss, _aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+                    state.params, mb, rng
+                )
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            n_micro = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            (grads, loss_sum), _ = jax.lax.scan(micro, (zeros, 0.0), batch)
+            grads = jax.tree_util.tree_map(lambda g: g / n_micro, grads)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=new_params,
+                opt_state=new_opt,
+                step=state.step + 1,
+                rng=new_rng,
+            )
+            return new_state, {"loss": loss_sum / n_micro}
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _shard_batch(self, batch):
+        """Stack into (grad_acc, micro_b, ...) and shard micro batch dim."""
+        acc = max(1, self.config.grad_acc_steps)
+        out = {}
+        for k, v in batch.items():
+            if np.ndim(v) == 0:
+                continue
+            v = np.asarray(v)
+            b = v.shape[0]
+            micro = b // acc
+            if micro == 0:
+                acc_eff, micro = 1, b
+            else:
+                acc_eff = acc
+            v = v[: acc_eff * micro].reshape((acc_eff, micro) + v.shape[1:])
+            out[k] = jnp.asarray(v)
+        if self.mesh is not None:
+            n_dev = self.mesh.shape.get("data", 1)
+            micro_b = jax.tree_util.tree_leaves(out)[0].shape[1] if out else 0
+            spec = P(None, "data") if micro_b % max(n_dev, 1) == 0 else P()
+            out = jax.device_put(out, NamedSharding(self.mesh, spec))
+        if "first_segment_end" in batch:
+            # static python int: pair layout is constant per dataset
+            self._fse = int(batch["first_segment_end"])
+        return out
+
+    # ---------------- eval -------------------------------------------- #
+
+    def evaluate(self, state: TrainState, batches: Iterator[Dict]) -> Dict[str, float]:
+        losses, mrrs = [], []
+        eval_fn = jax.jit(lambda p, b, r: self._loss_fn(p, b, r))
+        rng = jax.random.PRNGKey(0)
+        for batch in batches:
+            if "first_segment_end" in batch:
+                self._fse = int(batch["first_segment_end"])
+            b = {
+                k: jnp.asarray(v)
+                for k, v in batch.items()
+                if k != "first_segment_end"
+            }
+            loss, aux = eval_fn(state.params, b, rng)
+            losses.append(float(loss))
+            if "mrr" in aux:
+                mrrs.append(float(aux["mrr"]))
+        res = {"dev_loss": float(np.mean(losses)) if losses else float("nan")}
+        if mrrs:
+            res["dev_mrr"] = float(np.mean(mrrs))
+        return res
+
+    # ---------------- full loop --------------------------------------- #
+
+    def train(
+        self,
+        train_data: data_mod.EntLinkDataset,
+        dev_data: Optional[data_mod.EntLinkDataset] = None,
+        resume: bool = False,
+    ) -> TrainState:
+        cfg = self.config
+        state = self.init_state()
+        start_epoch = 0
+        if resume:
+            last = self._ckpt.latest_eoe()
+            if last is not None:
+                tree, _ = load_pytree(last["path"])
+                state = dataclasses.replace(
+                    state,
+                    params=tree["params"],
+                    opt_state=tree["opt_state"],
+                    step=jnp.asarray(tree["step"], jnp.int32),
+                )
+                start_epoch = last["epoch"] + 1
+                LOGGER.info("resumed from %s (epoch %d)", last["path"], start_epoch)
+
+        train_step = self.make_train_step()
+        batch_size = cfg.train_batch_size
+        fast_dev = cfg.fast_dev_run
+
+        for epoch in range(start_epoch, cfg.num_epochs):
+            neg_labels = self._epoch_negatives(train_data, state, epoch)
+            batches = self._make_batches(train_data, neg_labels, batch_size, epoch)
+            t0 = time.time()
+            for bi, batch in enumerate(batches):
+                if fast_dev and bi >= fast_dev:
+                    break
+                sharded = self._shard_batch(batch)
+                state, metrics = train_step(state, sharded)
+                if bi % cfg.print_interval == 0:
+                    LOGGER.info(
+                        "epoch %d step %d loss %.4f (%.2f s/step)",
+                        epoch,
+                        int(state.step),
+                        float(metrics["loss"]),
+                        (time.time() - t0) / (bi + 1),
+                    )
+            # ---- dev eval + checkpoints (reference: top-k on dev metric
+            # + end-of-epoch, pairwise_trainer.py:214-237)
+            if dev_data is not None:
+                dev_negs = mine_dev = self._epoch_negatives(dev_data, state, epoch)
+                dev_metrics = self.evaluate(
+                    state, self._make_batches(dev_data, dev_negs, batch_size, epoch, shuffle=False)
+                )
+                LOGGER.info("epoch %d dev: %s", epoch, dev_metrics)
+                metric_val = dev_metrics.get(
+                    "dev_mrr" if cfg.ckpt_metric == "mrr" else "dev_loss", float("nan")
+                )
+                if np.isfinite(metric_val):
+                    self._ckpt.maybe_save(
+                        {"params": state.params, "opt_state": state.opt_state, "step": int(state.step)},
+                        metric_val,
+                        int(state.step),
+                        epoch,
+                    )
+            self._ckpt.save_end_of_epoch(
+                {"params": state.params, "opt_state": state.opt_state, "step": int(state.step)},
+                epoch,
+                int(state.step),
+            )
+        return state
+
+    def _epoch_negatives(self, data, state: TrainState, epoch: int) -> Optional[np.ndarray]:
+        cfg = self.config
+        if self.is_bienc and cfg.neg_strategy == "in_batch":
+            return None
+        if cfg.neg_strategy == "bienc_hard_negs" and self.is_bienc:
+            # re-mine with the CURRENT towers each epoch (reference:
+            # EntLinkData.get_bienc_model, pairwise_trainer.py:133-164)
+            from anncur_tpu.evalx.retrieve_rerank import embed_tokenized
+
+            inp = embed_tokenized(self.model, state.params, data.mention_tokens, cfg.eval_batch_size, "input")
+            lab = embed_tokenized(self.model, state.params, data.entity_tokens, cfg.eval_batch_size, "label")
+            return data_mod.mine_negatives(
+                data, "bienc_hard_negs", cfg.num_negs, seed=epoch, input_embeds=inp, label_embeds=lab
+            )
+        return data_mod.mine_negatives(data, cfg.neg_strategy, cfg.num_negs, seed=epoch)
+
+    def _make_batches(self, data, neg_labels, batch_size, epoch, shuffle=None):
+        shuffle = self.config.shuffle_data if shuffle is None else shuffle
+        if self.is_bienc:
+            if neg_labels is None:
+                return (
+                    {"input": b["input"], "pos": b["pos"]}
+                    for b in data_mod.bienc_batches(
+                        data, np.zeros((data.n_ments, 1), np.int64), batch_size, shuffle, epoch
+                    )
+                )
+            return data_mod.bienc_batches(data, neg_labels, batch_size, shuffle, epoch)
+        return data_mod.crossenc_batches(data, neg_labels, batch_size, shuffle, epoch)

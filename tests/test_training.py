@@ -1,0 +1,169 @@
+"""Training runtime: optimizer masks, negative mining, end-to-end tiny
+training runs (bi-enc + cross-enc) on the 8-device mesh with checkpoint
+top-k retention and resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anncur_tpu.config import Config
+from anncur_tpu.data.synthetic import make_tokenized_world
+from anncur_tpu.models.bert import BertSpec
+from anncur_tpu.models.biencoder import BiEncoder
+from anncur_tpu.models.crossencoder import CrossEncoder
+from anncur_tpu.train.checkpoint import TopKCheckpointManager, load_pytree, save_pytree
+from anncur_tpu.train.data import EntLinkDataset, mine_negatives
+from anncur_tpu.train.negatives import (
+    get_hard_negs_from_embeds,
+    get_random_negs,
+    get_random_negs_w_blacklist,
+)
+from anncur_tpu.train.optimizer import make_optimizer
+from anncur_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def tiny_world():
+    ment, ent, gt, tok = make_tokenized_world(
+        seed=3, n_ents=24, n_ments=32, max_ment_len=16, max_ent_len=16
+    )
+    return EntLinkDataset(ment, ent, gt), tok
+
+
+def test_random_negs_exclude_positive(rng):
+    gt = np.array([0, 3, 7])
+    negs = get_random_negs(gt, n_labels=8, num_negs=4, seed=0)
+    assert negs.shape == (3, 4)
+    for row, g in zip(negs, gt):
+        assert g not in row
+
+
+def test_random_negs_blacklist():
+    gt = np.array([0])
+    negs = get_random_negs_w_blacklist(gt, [[1, 2, 3]], n_labels=8, num_negs=3, seed=0)
+    assert not (set(negs[0]) & {0, 1, 2, 3})
+
+
+def test_hard_negs_top_scored(rng):
+    inp = np.eye(4, 8, dtype=np.float32)
+    lab = np.eye(8, 8, dtype=np.float32)
+    gt = np.array([0, 1, 2, 3])
+    negs = get_hard_negs_from_embeds(inp, lab, gt, num_negs=3)
+    for row, g in zip(negs, gt):
+        assert g not in row
+
+
+def test_optimizer_decay_and_freeze_masks():
+    spec = BertSpec.tiny()
+    enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=spec.hidden_size, compute_dtype=jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0))
+    tx = make_optimizer(params, type_optimization="all")
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert any(float(jnp.abs(u).sum()) > 0 for u in jax.tree_util.tree_leaves(updates))
+
+    # 'additional_layers' freezes the towers (only pooler/linear update)
+    tx2 = make_optimizer(params, type_optimization="additional_layers")
+    st2 = tx2.init(params)
+    upd2, _ = tx2.update(grads, st2, params)
+    word_upd = upd2["input_bert"]["embeddings"]["word"]
+    assert float(jnp.abs(word_upd).sum()) == 0.0
+    pooler_upd = upd2["input_bert"]["pooler"]["kernel"]
+    assert float(jnp.abs(pooler_upd).sum()) > 0.0
+
+
+def _mk_config(tmp_path, **kw):
+    cfg = Config(
+        base_res_dir=str(tmp_path),
+        num_epochs=2,
+        train_batch_size=8,
+        grad_acc_steps=2,
+        num_negs=3,
+        neg_strategy="random",
+        learning_rate=5e-4,
+        print_interval=100,
+        eval_batch_size=16,
+        num_top_k_ckpts=2,
+    )
+    cfg.update_from_dict(kw)
+    return cfg
+
+
+def test_bienc_training_loss_drops(tmp_path, tiny_world, mesh8):
+    data, tok = tiny_world
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64)
+    enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=32, compute_dtype=jnp.float32)
+    cfg = _mk_config(tmp_path, model_type="bi_enc", loss_type="ce")
+    trainer = Trainer(cfg, enc, mesh=mesh8, total_steps=50)
+
+    state = trainer.init_state()
+    step = trainer.make_train_step()
+    negs = mine_negatives(data, "random", cfg.num_negs, seed=0)
+    losses = []
+    from anncur_tpu.train.data import bienc_batches
+
+    for epoch in range(6):
+        for batch in bienc_batches(data, negs, cfg.train_batch_size, seed=epoch):
+            state, m = step(state, trainer._shard_batch(batch))
+            losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, f"loss did not drop: {losses[0]} -> {losses[-1]}"
+
+
+def test_full_train_loop_with_ckpts_and_resume(tmp_path, tiny_world, mesh8):
+    data, tok = tiny_world
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64)
+    enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=32, compute_dtype=jnp.float32)
+    cfg = _mk_config(tmp_path, model_type="bi_enc", loss_type="ce", num_epochs=2)
+    trainer = Trainer(cfg, enc, mesh=mesh8, total_steps=20)
+    state = trainer.train(data, dev_data=data)
+    ckpt_dir = os.path.join(cfg.result_dir, "model")
+    files = os.listdir(ckpt_dir)
+    assert any(f.startswith("eoe-1") for f in files), files
+    assert any(f.startswith("loss=") for f in files), files
+    # resume continues from epoch 2 (no-op since num_epochs=2) without error
+    trainer2 = Trainer(cfg, enc, mesh=mesh8, total_steps=20)
+    trainer2.train(data, dev_data=None, resume=True)
+
+
+def test_crossenc_training_smoke(tmp_path, tiny_world, mesh8):
+    data, tok = tiny_world
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64, max_position_embeddings=64)
+    ce = CrossEncoder(spec=spec, cross_enc_type="default", compute_dtype=jnp.float32)
+    cfg = _mk_config(
+        tmp_path, model_type="cross_enc", loss_type="ce", num_epochs=1,
+        train_batch_size=4, grad_acc_steps=1, num_negs=2, fast_dev_run=3,
+        ckpt_metric="mrr",
+    )
+    trainer = Trainer(cfg, ce, mesh=mesh8, total_steps=10)
+    state = trainer.train(data, dev_data=data)
+    assert int(state.step) >= 3
+
+
+def test_topk_ckpt_manager(tmp_path):
+    mgr = TopKCheckpointManager(str(tmp_path), k=2, metric="loss", mode="min")
+    assert mgr.maybe_save({"x": np.ones(2)}, 1.0, step=1, epoch=0)
+    assert mgr.maybe_save({"x": np.ones(2)}, 0.5, step=2, epoch=0)
+    assert mgr.maybe_save({"x": np.ones(2)}, 0.7, step=3, epoch=0)  # evicts 1.0
+    assert mgr.maybe_save({"x": np.ones(2)}, 2.0, step=4, epoch=0) is None
+    vals = sorted(e["value"] for e in mgr.entries)
+    assert vals == [0.5, 0.7]
+    best, meta = load_pytree(mgr.best_path())
+    assert meta["value"] == 0.5
+    # persistence across manager instances
+    mgr2 = TopKCheckpointManager(str(tmp_path), k=2, metric="loss", mode="min")
+    assert len(mgr2.entries) == 2
+
+
+def test_distill_batches_and_loss(tiny_world, rng):
+    data, tok = tiny_world
+    data.score_matrix = rng.standard_normal((data.n_ments, data.n_ents)).astype(np.float32)
+    from anncur_tpu.train.data import distill_batches
+
+    batches = list(distill_batches(data, top_n_labels=4, batch_size=8))
+    assert batches and batches[0]["labels"].shape == (8, 4, 16)
+    assert batches[0]["target_scores"].shape == (8, 4)
