@@ -101,6 +101,58 @@ def pair_token_matrix(mention_ids: np.ndarray, entity_ids: np.ndarray) -> np.nda
     return np.concatenate([left, entity_ids[:, 1:]], axis=1)
 
 
+def get_context_representation_ids(
+    sample: Dict,
+    tokenizer: WordPieceTokenizer,
+    max_seq_length: int,
+) -> List[int]:
+    """Id-level fast path of :func:`get_context_representation` — same
+    output ids, but text goes through ``tokenizer.encode`` so the native
+    C++ tokenizer accelerates it. Tags/CLS/SEP are inserted as ids."""
+    v = tokenizer.vocab
+    cls_id, sep_id = v["[CLS]"], v["[SEP]"]
+    start_id, end_id = v[ENT_START_TAG], v[ENT_END_TAG]
+
+    mention_ids: List[int] = []
+    if sample.get("mention"):
+        mention_ids = [start_id] + tokenizer.encode(sample["mention"]) + [end_id]
+    left = tokenizer.encode(sample["context_left"])
+    right = tokenizer.encode(sample["context_right"])
+
+    left_quota = (max_seq_length - len(mention_ids)) // 2 - 1
+    right_quota = max_seq_length - len(mention_ids) - left_quota - 2
+    if len(left) <= left_quota:
+        if len(right) > right_quota:
+            right_quota += left_quota - len(left)
+    else:
+        if len(right) <= right_quota:
+            left_quota += right_quota - len(right)
+
+    ids = (
+        [cls_id]
+        + (left[-left_quota:] if left_quota > 0 else [])
+        + mention_ids
+        + right[:right_quota]
+        + [sep_id]
+    )[:max_seq_length]
+    return ids + [0] * (max_seq_length - len(ids))
+
+
+def get_candidate_representation_ids(
+    candidate_desc: str,
+    tokenizer: WordPieceTokenizer,
+    max_seq_length: int,
+    candidate_title: str | None = None,
+) -> List[int]:
+    """Id-level fast path of :func:`get_candidate_representation`."""
+    v = tokenizer.vocab
+    ids = tokenizer.encode(candidate_desc)
+    if candidate_title is not None:
+        ids = tokenizer.encode(candidate_title) + [v[ENT_TITLE_TAG]] + ids
+    ids = [v["[CLS]"]] + ids[: max_seq_length - 2] + [v["[SEP]"]]
+    return ids + [0] * (max_seq_length - len(ids))
+
+
 def tokenize_mentions(
     mentions: Sequence[Dict],
     tokenizer: WordPieceTokenizer,
@@ -109,7 +161,7 @@ def tokenize_mentions(
     """(n_ments, L) int32 token-id matrix."""
     out = np.zeros((len(mentions), max_seq_length), np.int32)
     for i, m in enumerate(mentions):
-        out[i] = get_context_representation(m, tokenizer, max_seq_length)["ids"]
+        out[i] = get_context_representation_ids(m, tokenizer, max_seq_length)
     return out
 
 
@@ -122,5 +174,5 @@ def tokenize_entities(
     (reference CLI: utils/tokenize_entities.py:21-40)."""
     out = np.zeros((len(entities), max_seq_length), np.int32)
     for i, (title, desc) in enumerate(entities):
-        out[i] = get_candidate_representation(desc, tokenizer, max_seq_length, title)["ids"]
+        out[i] = get_candidate_representation_ids(desc, tokenizer, max_seq_length, title)
     return out

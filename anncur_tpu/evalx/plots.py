@@ -1,0 +1,143 @@
+"""Result plotting.
+
+Parity with the reference plotting layer: anchor-grid heat maps
+(eval/matrix_approx_zeshel.py:129-183, used by
+run_retrieval_eval_wrt_exact_crossenc.py:392-510) and the
+recall-vs-cost / recall-vs-retrieved curves of the RQ plot suite
+(utils/plot_emnlp_retrieval_eval_wrt_exact_crossenc.py). Uses a
+non-interactive matplotlib backend so it runs headless.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+LOGGER = logging.getLogger(__name__)
+
+
+def plot_heat_map(
+    val_matrix: np.ndarray,
+    row_vals: Sequence,
+    col_vals: Sequence,
+    out_path: str,
+    title: Optional[str] = None,
+    xlabel: str = "Number of anchor entities",
+    ylabel: str = "Number of anchor mentions",
+) -> str:
+    """Anchor-grid metric heat map (reference: plot_heat_map,
+    eval/matrix_approx_zeshel.py:129-183)."""
+    val_matrix = np.asarray(val_matrix, float)
+    size = 12 if np.nanmax(val_matrix) > 100 else 8
+    fig, ax = plt.subplots(figsize=(size, size))
+    ax.imshow(val_matrix)
+    ax.set_xticks(np.arange(len(col_vals)))
+    ax.set_yticks(np.arange(len(row_vals)))
+    ax.set_xticklabels(col_vals)
+    ax.set_yticklabels(row_vals)
+    plt.setp(ax.get_xticklabels(), rotation=45, ha="right", rotation_mode="anchor", fontsize=16)
+    plt.setp(ax.get_yticklabels(), fontsize=16)
+    for i in range(len(row_vals)):
+        for j in range(len(col_vals)):
+            ax.text(j, i, f"{val_matrix[i, j]:.1f}", ha="center", va="center", color="w", fontsize=14)
+    ax.set_xlabel(xlabel, fontsize=16)
+    ax.set_ylabel(ylabel, fontsize=16)
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def heat_map_from_transductive(
+    eval_res: Dict,
+    method: str,
+    top_k: int,
+    top_k_retvr: int,
+    out_dir: str,
+    metric: str = "exact_vs_reranked_approx_retvr~common_frac_mean",
+    split: str = "non_anchor",
+) -> Optional[str]:
+    """Build the (n_ment_anchors x n_ent_anchors) heat map from a
+    transductive result tree (reference: plot, run_retrieval_eval_wrt_
+    exact_crossenc.py:404-510)."""
+    node = eval_res.get(method, {}).get(f"top_k={top_k}", {}).get(f"k_retvr={top_k_retvr}", {})
+    if not node:
+        return None
+    rows, cols = set(), set()
+    for key in node:
+        m_part, e_part = key.split("~")
+        rows.add(int(m_part.split("=")[1]))
+        cols.add(int(e_part.split("=")[1]))
+    rows, cols = sorted(rows), sorted(cols)
+    mat = np.full((len(rows), len(cols)), np.nan)
+    for i, r in enumerate(rows):
+        for j, c in enumerate(cols):
+            entry = node.get(f"anc_n_m={r}~anc_n_e={c}")
+            if entry and split in entry and metric in entry[split]:
+                mat[i, j] = 100 * entry[split][metric]
+    out = os.path.join(out_dir, f"heatmap_{method}_k={top_k}_retvr={top_k_retvr}_{split}.pdf")
+    return plot_heat_map(mat, rows, cols, out, title=f"{method}: recall@{top_k} ({split})")
+
+
+def plot_recall_vs_cost(
+    method_rows: Dict[str, List[Dict]],
+    out_path: str,
+    top_k: int,
+    title: Optional[str] = None,
+) -> str:
+    """Recall-vs-CE-call-budget curves for several methods
+    (reference RQ1/RQ2 plots; rows from aggregate.recall_vs_cost_table).
+    For each method, plots the best recall achievable within each cost."""
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for method, rows in method_rows.items():
+        if not rows:
+            continue
+        costs = sorted({r["cost"] for r in rows})
+        best = []
+        for c in costs:
+            feas = [r["recall"] for r in rows if r["cost"] <= c]
+            best.append(100 * max(feas))
+        ax.plot(costs, best, marker="o", label=method)
+    ax.set_xlabel("CE calls per query (cost)")
+    ax.set_ylabel(f"Top-{top_k} recall vs exact (%)")
+    ax.set_xscale("log")
+    ax.grid(alpha=0.3)
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def plot_score_distribution(
+    score_matrix: np.ndarray, out_path: str, n_sample: int = 20
+) -> str:
+    """Per-mention score distributions (reference RQ0 plots)."""
+    rng = np.random.default_rng(0)
+    idx = rng.choice(score_matrix.shape[0], size=min(n_sample, score_matrix.shape[0]), replace=False)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for i in idx:
+        sv = np.sort(score_matrix[i])[::-1]
+        ax.plot(sv, alpha=0.4, lw=0.8)
+    ax.set_xlabel("entity rank")
+    ax.set_ylabel("CE score")
+    ax.set_xscale("log")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path

@@ -44,6 +44,10 @@ class BertSpec:
     initializer_range: float = 0.02
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
+    # 'xla' (einsum softmax, any backend) or 'flash' (Pallas fused
+    # flash-attention kernel, TPU only, inference / no-attn-dropout):
+    # flash never materializes the (b, h, s, s) probs in HBM.
+    attention_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:
@@ -150,16 +154,43 @@ def _attention(x, mask_bias, p, spec: BertSpec, dtype, dropout_rng, dropout_rate
     k = _dense(x, p["k_kernel"], p["k_bias"], dtype).reshape(b, s, nh, hd)
     v = _dense(x, p["v_kernel"], p["v_bias"], dtype).reshape(b, s, nh, hd)
 
-    scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(hd) + mask_bias  # (b, nh, s, s)
-    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-    if dropout_rng is not None and dropout_rate > 0.0:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-
-    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v, preferred_element_type=dtype)
-    ctx = ctx.reshape(b, s, h)
+    use_flash = (
+        spec.attention_impl == "flash"
+        and (dropout_rng is None or dropout_rate == 0.0)
+    )
+    if use_flash:
+        ctx = _flash_attention(q, k, v, mask_bias, hd)
+    else:
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(hd) + mask_bias  # (b, nh, s, s)
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        if dropout_rng is not None and dropout_rate > 0.0:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v, preferred_element_type=dtype)
+    ctx = ctx.astype(dtype).reshape(b, s, h)
     return _dense(ctx, p["out_kernel"], p["out_bias"], dtype)
+
+
+def _flash_attention(q, k, v, mask_bias, hd):
+    """Pallas fused flash attention (jax.experimental.pallas.ops.tpu);
+    padding mask passed as segment ids (pad=0, real=1; cross-segment
+    pairs are masked inside the kernel, probs never reach HBM)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    # mask_bias: (b, 1, 1, s) additive bias; recover the boolean mask
+    valid = (mask_bias[:, 0, 0, :] >= 0.0).astype(jnp.int32) + 1  # pad=1, real=2
+    seg = SegmentIds(q=valid, kv=valid)
+    qh = jnp.swapaxes(q, 1, 2)  # (b, nh, s, hd)
+    kh = jnp.swapaxes(k, 1, 2)
+    vh = jnp.swapaxes(v, 1, 2)
+    out = flash_attention(
+        qh, kh, vh, segment_ids=seg, causal=False, sm_scale=1.0 / math.sqrt(hd)
+    )
+    return jnp.swapaxes(out, 1, 2)  # (b, s, nh, hd)
 
 
 def _encoder_layer(x, mask_bias, layer_params, spec, dtype, rngs, dropout_rate):

@@ -1,0 +1,85 @@
+"""Dense MIPS index API — drop-in replacement for the reference's FAISS
+usage (models/nearest_nbr.py:24-80).
+
+The reference picks IndexFlatIP (exact) for <=11k vectors and IVF-Flat
+(approximate, nlist=floor(sqrt(n)), nprobe=floor(sqrt(nlist))*mult)
+above. On TPU exact search saturates the MXU at every ZeShEL scale, so
+the IVF approximation is unnecessary: ``DenseIndex`` is always exact,
+with three execution strategies (brute / streaming / mesh-sharded)
+chosen by item count and available devices. ``force_exact_search`` is
+accepted for API parity and is a no-op.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anncur_tpu.ops.mips import mips_topk, mips_topk_sharded, pad_items
+from anncur_tpu.ops.mips_pallas import mips_topk_streaming
+from anncur_tpu.parallel.mesh import Mesh
+
+LOGGER = logging.getLogger(__name__)
+
+# above this, brute-force would materialize > ~0.5 GB score blocks;
+# switch to the streaming kernel
+_STREAMING_THRESHOLD = 32768
+
+
+class DenseIndex:
+    """Exact inner-product search over item embeddings.
+
+    API parity with the reference FAISS wrapper
+    (build_flat_or_ivff_index -> index.search(q, k),
+    models/nearest_nbr.py:24-55).
+    """
+
+    def __init__(self, embeds: np.ndarray, mesh: Optional[Mesh] = None):
+        self.embeds = jnp.asarray(embeds, jnp.float32)
+        self.mesh = mesh
+        self.n, self.dim = self.embeds.shape
+        if mesh is not None and mesh.devices.size > 1:
+            self._padded, self._n_valid = pad_items(self.embeds, mesh.devices.size)
+        else:
+            self._padded, self._n_valid = None, self.n
+
+    def add(self, embeds: np.ndarray) -> None:
+        """Append items (FAISS .add parity). Rebuilds device placement."""
+        self.embeds = jnp.concatenate([self.embeds, jnp.asarray(embeds, jnp.float32)])
+        self.n = self.embeds.shape[0]
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            self._padded, self._n_valid = pad_items(self.embeds, self.mesh.devices.size)
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(scores (q, k), indices (q, k)) — exact top-k by inner product."""
+        queries = jnp.asarray(queries, jnp.float32)
+        k = min(k, self.n)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            s, i = mips_topk_sharded(
+                queries, self._padded, k, self.mesh, n_valid=self._n_valid
+            )
+        elif self.n > _STREAMING_THRESHOLD:
+            s, i = mips_topk_streaming(queries, self.embeds, k)
+        else:
+            s, i = mips_topk(queries, self.embeds, k)
+        return np.asarray(s), np.asarray(i)
+
+
+def build_flat_or_ivff_index(
+    embeds: np.ndarray,
+    force_exact_search: bool = False,
+    approx_search_mult: int = 0,
+    mesh: Optional[Mesh] = None,
+) -> DenseIndex:
+    """Name/signature parity with the reference builder
+    (models/nearest_nbr.py:24-55); always exact on TPU (see module doc)."""
+    if not force_exact_search and embeds.shape[0] > 11000:
+        LOGGER.info(
+            "reference would build IVF here (n=%d); TPU exact search used instead",
+            embeds.shape[0],
+        )
+    return DenseIndex(embeds, mesh=mesh)

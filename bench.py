@@ -36,8 +36,13 @@ def main():
     n_dev = len(jax.devices())
     mesh = make_mesh((n_dev,), ("data",))
 
-    # flagship model: bert-base cross-encoder, bf16 compute
-    spec = BertSpec()  # bert-base-uncased shape
+    # flagship model: bert-base cross-encoder, bf16 compute.
+    # Measured on v5e: xla attention beats the pallas flash kernel at
+    # seq 256 (1282 vs ~850 pairs/s) — flash's tile-grid overhead
+    # dominates at short sequences; it is kept as an option for long-seq
+    # workloads (BENCH_ATTN=flash to compare).
+    attention_impl = os.environ.get("BENCH_ATTN", "xla")
+    spec = BertSpec(attention_impl=attention_impl)  # bert-base-uncased shape
     ce = CrossEncoder(spec=spec, cross_enc_type="default", compute_dtype=jnp.bfloat16)
     params = ce.init(jax.random.PRNGKey(0))
 
@@ -48,7 +53,7 @@ def main():
     ent_toks = rng.integers(1, spec.vocab_size, size=(n_ents, le)).astype(np.int32)
 
     ment_block = int(os.environ.get("BENCH_MENT_BLOCK", "8"))
-    ent_block = int(os.environ.get("BENCH_ENT_BLOCK", "32"))
+    ent_block = int(os.environ.get("BENCH_ENT_BLOCK", "256"))
     builder = ScoreMatrixBuilder(
         ce, mesh, ment_block=ment_block, ent_block=ent_block
     )
