@@ -1,0 +1,66 @@
+"""Compile per-method eval results into comparison tables + plots.
+
+Parity with eval/compile_emnlp_retrieval_eval_wrt_exact_crossenc.py:
+flattens per-method res.json files into one combined key-value JSON,
+pivots recall-vs-cost tables per top_k (cost = top_k_retvr +
+n_ent_anchors for CUR-family methods, :247-258), emits CSVs and the
+RQ1/RQ2-style recall-vs-cost plot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+
+from anncur_tpu.evalx.aggregate import (
+    combine_result_files,
+    recall_vs_cost_table,
+    write_csv,
+)
+from anncur_tpu.evalx.plots import plot_recall_vs_cost
+
+LOGGER = logging.getLogger("anncur_tpu.compile_results")
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--res_dir", required=True, help="dir containing method=*_s=* subdirs")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--top_k_vals", nargs="+", type=int, default=[1, 10, 50, 100])
+    args = p.parse_args(argv)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    combine_result_files(
+        os.path.join(args.res_dir, "method=*", "res.json"),
+        os.path.join(args.out_dir, "combined.json"),
+    )
+
+    method_dirs = sorted(glob.glob(os.path.join(args.res_dir, "method=*")))
+    for top_k in args.top_k_vals:
+        method_rows = {}
+        for d in method_dirs:
+            method = os.path.basename(d).split("=", 1)[1].split("_s=")[0]
+            path = os.path.join(d, "res.json")
+            if not os.path.exists(path):
+                continue
+            with open(path) as fin:
+                res = json.load(fin)
+            rows = recall_vs_cost_table(res, method, top_k)
+            if rows:
+                method_rows[method] = rows
+                write_csv(rows, os.path.join(args.out_dir, f"recall_vs_cost_{method}_k{top_k}.csv"))
+        if method_rows:
+            plot_recall_vs_cost(
+                method_rows,
+                os.path.join(args.out_dir, f"recall_vs_cost_k{top_k}.pdf"),
+                top_k=top_k,
+            )
+    LOGGER.info("compiled results -> %s", args.out_dir)
+
+
+if __name__ == "__main__":
+    main()

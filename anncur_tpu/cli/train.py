@@ -42,7 +42,11 @@ def save_code_snapshot(result_dir: str) -> None:
         fout.write(" ".join(sys.argv) + "\n")
 
 
-def load_world_dataset(cfg: Config, files: dict, tokenizer: WordPieceTokenizer) -> EntLinkDataset:
+def load_world_dataset(cfg: Config, files, tokenizer: WordPieceTokenizer) -> EntLinkDataset:
+    if isinstance(files, (list, tuple)):
+        # reference config format: [ment_file, ent_file, ent_tokens_file]
+        # (config/el_zeshel_bi_enc.json)
+        files = dict(zip(("ment_file", "ent_file", "ent_tokens_file"), files))
     kb2local, entities = load_entities(files["ent_file"])
     mentions = load_mentions(files["ment_file"], kb2local)
     if cfg.debug_w_small_data:
@@ -111,15 +115,16 @@ def main(arg_list=None):
         )
     tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path, do_lower_case=cfg.lowercase)
 
+    from anncur_tpu.train.data import merge_worlds
+
     train_sets = [
         load_world_dataset(cfg, files, tokenizer) for files in cfg.trn_files.values()
     ]
     dev_sets = [
         load_world_dataset(cfg, files, tokenizer) for files in cfg.dev_files.values()
     ]
-    if len(train_sets) != 1:
-        raise NotImplementedError("multi-world merging: train per world for now")
-    train_data, dev_data = train_sets[0], (dev_sets[0] if dev_sets else None)
+    train_data = merge_worlds(train_sets)
+    dev_data = merge_worlds(dev_sets) if dev_sets else None
 
     steps_per_epoch = max(1, train_data.n_ments // max(1, cfg.train_batch_size))
     model = build_model(cfg, tokenizer.vocab_size)

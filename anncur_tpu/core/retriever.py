@@ -1,0 +1,196 @@
+"""High-level index-and-query engine: the production serving API.
+
+Ties the whole framework together (the reference has no single serving
+class — this is the composed online path of SURVEY §3.4):
+
+offline:  exact CE scores of train queries vs all items (mesh-sharded
+          ScoreMatrixBuilder) -> CurIndex (latent item embeddings U@R)
+online:   query text -> tokenize -> CE-score against the k_i anchor
+          items only -> project through latent factors -> top-k_retvr
+          candidates -> exact CE rerank -> top-k results.
+
+Cost per query = n_anchor_items + top_k_retvr CE calls (the reference's
+cost axis, run_retrieval_eval_wrt_exact_crossenc.py:480-481).
+
+Everything device-side is jit-compiled once with static shapes; queries
+are batched for MXU efficiency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anncur_tpu.core.cur import CurIndex, build_cur
+from anncur_tpu.data.tokenization import get_context_representation_ids
+from anncur_tpu.indexer.score_matrix import ScoreMatrixBuilder, build_pairs
+from anncur_tpu.models.crossencoder import CrossEncoder
+from anncur_tpu.models.tokenizer import WordPieceTokenizer
+
+LOGGER = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class CurRetriever:
+    """Serving-time CUR retriever over one item corpus."""
+
+    encoder: CrossEncoder
+    params: Dict
+    tokenizer: WordPieceTokenizer
+    item_tokens: np.ndarray  # (n_items, Le)
+    index: CurIndex
+    anchor_item_ids: np.ndarray  # (k_i,)
+    max_query_len: int = 128
+    rerank_batch: int = 8
+    pair_pad_multiple: int = 128
+
+    # ---------------- offline build ----------------------------------- #
+
+    @classmethod
+    def build(
+        cls,
+        encoder: CrossEncoder,
+        params: Dict,
+        tokenizer: WordPieceTokenizer,
+        train_query_tokens: np.ndarray,  # (k_q, Lm) anchor queries
+        item_tokens: np.ndarray,  # (n_items, Le)
+        n_anchor_items: int,
+        builder: ScoreMatrixBuilder,
+        seed: int = 0,
+        train_scores: Optional[np.ndarray] = None,
+        max_query_len: int = 128,
+    ) -> "CurRetriever":
+        """Offline indexing: score anchor queries against ALL items (the
+        expensive mesh-sharded step), sample anchor items, build the CUR
+        latent factors with all train rows as anchors
+        (reference flow: ..._w_fixed_train_test_splits.py:286-303)."""
+        if train_scores is None:
+            LOGGER.info(
+                "offline scoring: %d anchor queries x %d items",
+                train_query_tokens.shape[0],
+                item_tokens.shape[0],
+            )
+            train_scores = builder(params, train_query_tokens, item_tokens)
+        n_items = item_tokens.shape[0]
+        rng = np.random.default_rng(seed)
+        anchors = np.asarray(
+            sorted(rng.choice(n_items, size=min(n_anchor_items, n_items), replace=False))
+        )
+        index = build_cur(
+            rows=train_scores,
+            cols=train_scores[:, anchors],
+            row_idxs=np.arange(train_scores.shape[0]),
+            col_idxs=anchors,
+            approx_preference="rows",
+            validate=False,
+        )
+        return cls(
+            encoder=encoder,
+            params=params,
+            tokenizer=tokenizer,
+            item_tokens=item_tokens,
+            index=index,
+            anchor_item_ids=anchors,
+            max_query_len=max_query_len,
+        )
+
+    # ---------------- online query ------------------------------------ #
+
+    def _anchor_scores(self, query_tokens) -> jnp.ndarray:
+        """(q, k_i) exact CE scores of queries vs anchor items only.
+
+        Chunked over mentions (rerank_batch) so activation memory stays
+        bounded at rerank_batch * k_i pairs regardless of query count —
+        one 32-query x 500-anchor batch through bert-base in a single
+        forward OOMs a 16 GB chip."""
+        from anncur_tpu.evalx.retrieve_rerank import crossenc_rerank_scores
+
+        q = np.asarray(query_tokens).shape[0]
+        cand = np.broadcast_to(
+            np.asarray(self.anchor_item_ids)[None, :], (q, len(self.anchor_item_ids))
+        )
+        scores = crossenc_rerank_scores(
+            self.encoder,
+            self.params,
+            np.asarray(query_tokens),
+            self.item_tokens,
+            cand,
+            batch_ments=self.rerank_batch,
+            pair_pad_multiple=self.pair_pad_multiple,
+        )
+        return jnp.asarray(scores)
+
+    def _rerank(self, query_tokens: np.ndarray, cand_idx: np.ndarray) -> np.ndarray:
+        from anncur_tpu.evalx.retrieve_rerank import crossenc_rerank_scores
+
+        return crossenc_rerank_scores(
+            self.encoder,
+            self.params,
+            np.asarray(query_tokens),
+            self.item_tokens,
+            cand_idx,
+            batch_ments=self.rerank_batch,
+        )
+
+    def query_tokens_batch(
+        self,
+        query_tokens: np.ndarray,  # (q, Lm)
+        top_k: int = 10,
+        top_k_retvr: int = 100,
+        rerank: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(scores (q, top_k), item indices (q, top_k))."""
+        anchor_scores = self._anchor_scores(jnp.asarray(query_tokens, jnp.int32))
+        _, cand = self.index.topk_in_row(anchor_scores, min(top_k_retvr, self.index.n_cols))
+        cand = np.asarray(cand)
+        if not rerank:
+            s, i = jax.lax.top_k(self.index.get_complete_row(anchor_scores), top_k)
+            return np.asarray(s), np.asarray(i)
+        exact = self._rerank(query_tokens, cand)
+        order = np.argsort(-exact, axis=1)[:, :top_k]
+        return (
+            np.take_along_axis(exact, order, axis=1),
+            np.take_along_axis(cand, order, axis=1),
+        )
+
+    def query(
+        self,
+        mention: str,
+        context_left: str = "",
+        context_right: str = "",
+        top_k: int = 10,
+        top_k_retvr: int = 100,
+    ) -> List[Tuple[int, float]]:
+        """Single text query -> [(item_id, score)]."""
+        ids = get_context_representation_ids(
+            {
+                "mention": mention.lower(),
+                "context_left": context_left.lower(),
+                "context_right": context_right.lower(),
+            },
+            self.tokenizer,
+            self.max_query_len,
+        )
+        scores, idx = self.query_tokens_batch(
+            np.asarray([ids], np.int32), top_k=top_k, top_k_retvr=top_k_retvr
+        )
+        return list(zip(idx[0].tolist(), scores[0].tolist()))
+
+    @property
+    def cost_per_query(self) -> int:
+        """CE calls per query at default retrieval depth."""
+        return len(self.anchor_item_ids)
+
+    def throughput(self, query_tokens: np.ndarray, top_k=10, top_k_retvr=100, iters=3) -> float:
+        """queries/sec including rerank (bench helper)."""
+        self.query_tokens_batch(query_tokens, top_k, top_k_retvr)  # warmup
+        t0 = time.time()
+        for _ in range(iters):
+            self.query_tokens_batch(query_tokens, top_k, top_k_retvr)
+        return iters * query_tokens.shape[0] / (time.time() - t0)

@@ -53,13 +53,15 @@ def crossenc_rerank_scores(
     ent_tokens: np.ndarray,  # (n_e, Le)
     cand_idx: np.ndarray,  # (n_m, k) candidate entity ids per mention
     batch_ments: int = 4,
+    pair_pad_multiple: int = 128,
 ) -> np.ndarray:
     """Exact CE scores for each mention's candidate set, (n_m, k)."""
     n_m, lm = ment_tokens.shape
     k = cand_idx.shape[1]
     le = ent_tokens.shape[1]
     pair_len = lm + le - 1
-    pair_len += (-pair_len) % 128
+    pad = min(pair_pad_multiple, ce.spec.max_position_embeddings)
+    pair_len += (-pair_len) % pad
 
     @jax.jit
     def step(p, ments, cands):  # (bm, Lm), (bm, k, Le)

@@ -33,6 +33,12 @@ class EntLinkDataset:
     mention_texts: Optional[Sequence[str]] = None
     entities: Optional[Sequence] = None  # [(title, desc)]
     score_matrix: Optional[np.ndarray] = None  # teacher scores for distill
+    # multi-world merge metadata: per-mention world index and per-world
+    # [start, end) ranges in the concatenated entity matrix. Negatives
+    # are mined within each mention's world (the reference trains on
+    # per-world dataloaders, models/pairwise_trainer.py:42-164).
+    mention_world: Optional[np.ndarray] = None  # (n_m,)
+    world_ent_ranges: Optional[List] = None  # [(start, end)]
 
     @property
     def n_ments(self) -> int:
@@ -41,6 +47,43 @@ class EntLinkDataset:
     @property
     def n_ents(self) -> int:
         return self.entity_tokens.shape[0]
+
+
+def merge_worlds(datasets: Sequence["EntLinkDataset"]) -> "EntLinkDataset":
+    """Concatenate per-world datasets: entity ids are offset into one
+    global entity matrix; world metadata is kept so negative mining and
+    retrieval stay within-world."""
+    if len(datasets) == 1:
+        return datasets[0]
+    ent_offsets = np.cumsum([0] + [d.n_ents for d in datasets])
+    gt = np.concatenate([d.gt_labels + ent_offsets[i] for i, d in enumerate(datasets)])
+    lm = max(d.mention_tokens.shape[1] for d in datasets)
+    le = max(d.entity_tokens.shape[1] for d in datasets)
+
+    def pad(mat, width):
+        out = np.zeros((mat.shape[0], width), mat.dtype)
+        out[:, : mat.shape[1]] = mat
+        return out
+
+    texts = None
+    if all(d.mention_texts is not None for d in datasets):
+        texts = [t for d in datasets for t in d.mention_texts]
+    ents = None
+    if all(d.entities is not None for d in datasets):
+        ents = [e for d in datasets for e in d.entities]
+    return EntLinkDataset(
+        mention_tokens=np.concatenate([pad(d.mention_tokens, lm) for d in datasets]),
+        entity_tokens=np.concatenate([pad(d.entity_tokens, le) for d in datasets]),
+        gt_labels=gt.astype(np.int64),
+        mention_texts=texts,
+        entities=ents,
+        mention_world=np.concatenate(
+            [np.full(d.n_ments, i, np.int32) for i, d in enumerate(datasets)]
+        ),
+        world_ent_ranges=[
+            (int(ent_offsets[i]), int(ent_offsets[i + 1])) for i in range(len(datasets))
+        ],
+    )
 
 
 def mine_negatives(
@@ -52,7 +95,30 @@ def mine_negatives(
     label_embeds: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """(n_m, num_negs) negative label ids per strategy
-    (reference dispatch: get_ent_link_dataset, data_process.py:629-687)."""
+    (reference dispatch: get_ent_link_dataset, data_process.py:629-687).
+    On merged multi-world datasets, negatives stay within each mention's
+    world (its own entity range)."""
+    if data.mention_world is not None and data.world_ent_ranges is not None:
+        out = np.empty((data.n_ments, num_negs), np.int64)
+        for w, (start, end) in enumerate(data.world_ent_ranges):
+            sel = np.nonzero(data.mention_world == w)[0]
+            if len(sel) == 0:
+                continue
+            sub = EntLinkDataset(
+                mention_tokens=data.mention_tokens[sel],
+                entity_tokens=data.entity_tokens[start:end],
+                gt_labels=data.gt_labels[sel] - start,
+                mention_texts=None if data.mention_texts is None else [data.mention_texts[i] for i in sel],
+                entities=None if data.entities is None else data.entities[start:end],
+                score_matrix=None if data.score_matrix is None else data.score_matrix[sel, start:end],
+            )
+            sub_embeds = None if input_embeds is None else input_embeds[sel]
+            lab_embeds = None if label_embeds is None else label_embeds[start:end]
+            out[sel] = (
+                mine_negatives(sub, neg_strategy, num_negs, seed + w, sub_embeds, lab_embeds)
+                + start
+            )
+        return out
     if neg_strategy in ("random", "dummy"):
         return negs_mod.get_random_negs(data.gt_labels, data.n_ents, num_negs, seed)
     if neg_strategy == "bienc_hard_negs":

@@ -1,0 +1,89 @@
+"""CLI round 2: retrieve-rerank e2e, compile_results, config files."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from anncur_tpu.data.synthetic import make_tokenizer, make_world, write_world_files
+
+
+@pytest.fixture(scope="module")
+def world_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("z2")
+    rng = np.random.default_rng(8)
+    mentions, entities = make_world(rng, n_ents=30, n_ments=16)
+    files = write_world_files(str(root), mentions, entities)
+    tok = make_tokenizer()
+    vocab_path = str(root / "vocab.txt")
+    tok.save_vocab(vocab_path)
+    return {"root": str(root), "vocab": vocab_path, **files}
+
+
+TINY = ["--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
+        "--intermediate_size", "64", "--max_ment_len", "16", "--max_ent_len", "16"]
+
+
+def test_retrieve_rerank_cli(world_dir, tmp_path):
+    from anncur_tpu.cli import eval_retrieve_rerank
+
+    res_dir = str(tmp_path / "rr")
+    eval_retrieve_rerank.main(
+        ["--ment_file", world_dir["ment_file"], "--ent_file", world_dir["ent_file"],
+         "--vocab_file", world_dir["vocab"], "--res_dir", res_dir,
+         "--top_k", "8", "--batch_size", "8"] + TINY
+    )
+    with open(os.path.join(res_dir, "res.json")) as fin:
+        res = json.load(fin)
+    assert "bienc" in res and "crossenc" in res
+    assert "acc" in res["bienc"] and "mrr" in res["crossenc"]
+
+
+def test_bienc_only_cli(world_dir, tmp_path):
+    from anncur_tpu.cli import eval_retrieve_rerank
+
+    res_dir = str(tmp_path / "bi")
+    eval_retrieve_rerank.main(
+        ["--ment_file", world_dir["ment_file"], "--ent_file", world_dir["ent_file"],
+         "--vocab_file", world_dir["vocab"], "--res_dir", res_dir,
+         "--bienc_only", "--top_k", "8"] + TINY
+    )
+    with open(os.path.join(res_dir, "res.json")) as fin:
+        res = json.load(fin)
+    assert "recall" in res
+
+
+def test_compile_results_cli(tmp_path, low_rank_factory):
+    from anncur_tpu.cli import compile_results
+    from anncur_tpu.evalx.inductive import run_inductive_eval
+
+    mat = low_rank_factory(n=60, m=50, rank=4)
+    res_dir = str(tmp_path / "res")
+    for method, kwargs in (
+        ("cur", dict(train_scores=mat[:40])),
+        ("bienc", dict(train_scores=None, bienc_scores=mat[40:] + 0.5)),
+    ):
+        run_inductive_eval(
+            mat[40:], kwargs.pop("train_scores"), res_dir, method=method,
+            top_k_vals=[10], top_k_retvr_vals=[10, 20], n_ent_anchors_vals=[8], **kwargs,
+        )
+    out_dir = str(tmp_path / "compiled")
+    compile_results.main(["--res_dir", res_dir, "--out_dir", out_dir, "--top_k_vals", "10"])
+    assert os.path.exists(os.path.join(out_dir, "combined.json"))
+    assert os.path.exists(os.path.join(out_dir, "recall_vs_cost_k10.pdf"))
+    assert os.path.exists(os.path.join(out_dir, "recall_vs_cost_cur_k10.csv"))
+
+
+def test_shipped_configs_load():
+    from anncur_tpu.config import Config
+
+    for name in (
+        "configs/el_zeshel_bi_enc.json",
+        "configs/el_zeshel_cross_enc.json",
+        "configs/ce_distill/zeshel_bi_enc_distill.json",
+    ):
+        cfg = Config.from_json(name)
+        assert cfg.model_type in ("bi_enc", "cross_enc")
+        assert cfg.max_input_len == 128
+        assert "american_football" in cfg.trn_files or cfg.train_domains
