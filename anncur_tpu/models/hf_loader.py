@@ -101,6 +101,74 @@ def spec_from_hf_config(config) -> BertSpec:
     )
 
 
+def _linear_params(sd: Mapping[str, Any], prefix: str) -> Dict[str, jnp.ndarray]:
+    return {
+        "kernel": jnp.asarray(_to_np(sd[prefix + "weight"]).T),
+        "bias": jnp.asarray(_to_np(sd[prefix + "bias"])),
+    }
+
+
+def biencoder_params_from_lightning(
+    state_dict: Mapping[str, Any],
+    spec: BertSpec,
+    bi_enc_type: str = "separate",
+    add_linear_layer: bool = False,
+) -> Dict[str, Any]:
+    """Import a reference BiEncoderWrapper Lightning checkpoint
+    (state-dict layout per models/biencoder.py:149-214, prefix handling
+    :386-409; pass ckpt['state_dict']). Returns our BiEncoder params."""
+    params: Dict[str, Any] = {}
+    if bi_enc_type == "separate":
+        params["input_bert"] = bert_params_from_state_dict(
+            state_dict, spec, prefix="model.input_encoder.bert_model."
+        )
+        params["label_bert"] = bert_params_from_state_dict(
+            state_dict, spec, prefix="model.label_encoder.bert_model."
+        )
+        if add_linear_layer:
+            params["input_linear"] = _linear_params(
+                state_dict, "model.input_encoder.additional_linear."
+            )
+            params["label_linear"] = _linear_params(
+                state_dict, "model.label_encoder.additional_linear."
+            )
+    elif bi_enc_type == "shared":
+        params["bert"] = bert_params_from_state_dict(
+            state_dict, spec, prefix="model.encoder.bert_model."
+        )
+        if add_linear_layer:
+            params["input_linear"] = _linear_params(state_dict, "model.encoder.additional_linear.")
+            params["label_linear"] = params["input_linear"]
+    else:
+        raise ValueError(f"bi_enc_type={bi_enc_type!r}")
+    return params
+
+
+def crossencoder_params_from_lightning(
+    state_dict: Mapping[str, Any],
+    spec: BertSpec,
+    cross_enc_type: str = "default",
+) -> Dict[str, Any]:
+    """Import a reference CrossEncoderWrapper Lightning checkpoint
+    (models/crossencoder.py:218-242, prefix handling :397-420)."""
+    params: Dict[str, Any] = {
+        "bert": bert_params_from_state_dict(
+            state_dict, spec, prefix="model.encoder.bert_model."
+        )
+    }
+    if cross_enc_type == "default":
+        params["score_linear"] = _linear_params(state_dict, "model.encoder.additional_linear.")
+    return params
+
+
+def load_lightning_checkpoint(path: str) -> Mapping[str, Any]:
+    """Load a PL .ckpt and return its state_dict (torch file)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return ckpt.get("state_dict", ckpt)
+
+
 def load_bert_from_pretrained_dir(model_dir: str):
     """(spec, params, vocab_path) from a local HF-format directory
     containing config.json + pytorch_model.bin + vocab.txt."""

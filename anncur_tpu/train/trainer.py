@@ -67,11 +67,16 @@ class Trainer:
         model,  # BiEncoder | CrossEncoder
         mesh: Optional[Mesh] = None,
         total_steps: int = 10000,
+        tp_axis: Optional[str] = None,
     ):
+        """``tp_axis``: name of a mesh axis to tensor-parallel the BERT
+        towers over (Megatron-style column/row sharding via GSPMD, see
+        parallel/tp.py). None = pure data parallelism (params replicated)."""
         self.config = config
         self.model = model
         self.mesh = mesh
         self.total_steps = total_steps
+        self.tp_axis = tp_axis
         self.is_bienc = isinstance(model, BiEncoder)
         self._tx: Optional[optax.GradientTransformation] = None
         self._train_step = None
@@ -97,6 +102,18 @@ class Trainer:
             max_grad_norm=self.config.max_grad_norm,
             type_optimization=self.config.type_optimization or "all",
         )
+        if self.mesh is not None and self.tp_axis is not None:
+            from anncur_tpu.parallel.tp import shard_params
+
+            # shard BEFORE tx.init so optimizer moments inherit shardings
+            params = shard_params(params, self.mesh, self.tp_axis)
+            state = TrainState(
+                params=params,
+                opt_state=self._tx.init(params),
+                step=jnp.zeros((), jnp.int32),
+                rng=k_train,
+            )
+            return state
         state = TrainState(
             params=params,
             opt_state=self._tx.init(params),
