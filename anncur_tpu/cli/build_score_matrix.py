@@ -66,6 +66,10 @@ def main(argv=None):
 
     import jax
 
+    from anncur_tpu.parallel.mesh import require_accelerator
+
+    require_accelerator()
+
     spec = BertSpec(
         vocab_size=tokenizer.vocab_size,
         hidden_size=args.hidden_size,

@@ -69,6 +69,25 @@ def load_world_dataset(cfg: Config, files, tokenizer: WordPieceTokenizer) -> Ent
     )
 
 
+def load_distill_dataset(cfg: Config, domain: str, score_template: str) -> EntLinkDataset:
+    """Dataset from a precomputed teacher score-matrix pickle: mention
+    tokens + teacher scores come from the pickle; entity tokens from the
+    token-file template."""
+    import numpy as np
+
+    from anncur_tpu.indexer import load_score_matrix
+
+    data = load_score_matrix(score_template.format(domain))
+    ent_toks = np.load(cfg.entity_token_file_template.format(domain)).astype(np.int32)
+    scores = np.asarray(data["ment_to_ent_scores"], np.float32)
+    return EntLinkDataset(
+        mention_tokens=np.asarray(data["mention_tokens_list"], np.int32),
+        entity_tokens=ent_toks,
+        gt_labels=np.argmax(scores, axis=1).astype(np.int64),
+        score_matrix=scores,
+    )
+
+
 def build_model(cfg: Config, vocab_size: int):
     spec = BertSpec(vocab_size=vocab_size)
     dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
@@ -117,21 +136,44 @@ def main(arg_list=None):
 
     from anncur_tpu.train.data import merge_worlds
 
-    train_sets = [
-        load_world_dataset(cfg, files, tokenizer) for files in cfg.trn_files.values()
-    ]
-    dev_sets = [
-        load_world_dataset(cfg, files, tokenizer) for files in cfg.dev_files.values()
-    ]
+    if cfg.data_type == "ent_link_ce":
+        # distillation datasets from precomputed CE score-matrix pickles
+        # (reference: get_ent_link_ce_dataset, utils/data_process.py:706-868;
+        # config/ce_distill/zeshel_bi_enc_distill.json)
+        train_sets = [
+            load_distill_dataset(cfg, d, cfg.train_ent_w_score_file_template or cfg.ent_w_score_file_template)
+            for d in cfg.train_domains
+        ]
+        dev_sets = [
+            load_distill_dataset(cfg, d, cfg.dev_ent_w_score_file_template or cfg.ent_w_score_file_template)
+            for d in cfg.dev_domains
+        ]
+    else:
+        train_sets = [
+            load_world_dataset(cfg, files, tokenizer) for files in cfg.trn_files.values()
+        ]
+        dev_sets = [
+            load_world_dataset(cfg, files, tokenizer) for files in cfg.dev_files.values()
+        ]
     train_data = merge_worlds(train_sets)
     dev_data = merge_worlds(dev_sets) if dev_sets else None
 
     steps_per_epoch = max(1, train_data.n_ments // max(1, cfg.train_batch_size))
     model = build_model(cfg, tokenizer.vocab_size)
-    trainer = Trainer(cfg, model, mesh=default_mesh(), total_steps=steps_per_epoch * cfg.num_epochs)
+    from anncur_tpu.utils import ExperimentTracker
+
+    tracker = ExperimentTracker(cfg.result_dir, config=cfg.to_dict())
+    trainer = Trainer(
+        cfg,
+        model,
+        mesh=default_mesh(),
+        total_steps=steps_per_epoch * cfg.num_epochs,
+        tracker=tracker,
+    )
 
     t0 = time.time()
     trainer.train(train_data, dev_data=dev_data, resume=bool(cfg.ckpt_path))
+    tracker.finish()
     LOGGER.info("training done in %.1fs; results in %s", time.time() - t0, cfg.result_dir)
 
 

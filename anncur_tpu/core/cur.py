@@ -207,6 +207,43 @@ def build_cur(
     )
 
 
+def save_cur_index(path: str, index: CurIndex) -> None:
+    """Persist the latent factors + anchor ids (numpy pickle; loadable
+    without jax on any host)."""
+    import os
+    import pickle
+
+    import numpy as np
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fout:
+        pickle.dump(
+            {
+                "latent_rows": np.asarray(index.latent_rows),
+                "latent_cols": np.asarray(index.latent_cols),
+                "row_idxs": np.asarray(index.row_idxs),
+                "col_idxs": np.asarray(index.col_idxs),
+                "approx_preference": index.approx_preference,
+                "format_version": 1,
+            },
+            fout,
+        )
+
+
+def load_cur_index(path: str) -> CurIndex:
+    import pickle
+
+    with open(path, "rb") as fin:
+        d = pickle.load(fin)
+    return CurIndex(
+        latent_rows=jnp.asarray(d["latent_rows"]),
+        latent_cols=jnp.asarray(d["latent_cols"]),
+        row_idxs=jnp.asarray(d["row_idxs"]),
+        col_idxs=jnp.asarray(d["col_idxs"]),
+        approx_preference=d["approx_preference"],
+    )
+
+
 def build_cur_from_matrix(
     matrix: jax.Array,
     row_idxs: jax.Array,

@@ -46,6 +46,43 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, sharding)
 
 
+def require_accelerator(tracker=None, allow_cpu_env: str = "ANNCUR_ALLOW_CPU"):
+    """Hard-fail (with a tracker alert) when no accelerator is present.
+
+    Parity with the reference's GPU-absence guard + wandb alert
+    (run_cross_encoder_w_binenc_retriever_zeshel.py:82-84). Set
+    ANNCUR_ALLOW_CPU=1 to bypass (tests, smoke runs).
+    """
+    import os
+
+    platform = jax.devices()[0].platform
+    if platform == "cpu" and not os.environ.get(allow_cpu_env):
+        msg = (
+            "No TPU/accelerator available (platform=cpu). "
+            f"Set {allow_cpu_env}=1 to run on CPU anyway."
+        )
+        if tracker is not None:
+            tracker.alert(msg)
+        raise RuntimeError(msg)
+    return platform
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host init: extends the mesh over DCN. Thin wrapper over
+    jax.distributed.initialize (auto-detects on Cloud TPU pods when
+    called with no args). Call before any jax op; then make_mesh over
+    jax.devices() spans all hosts."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
 def pad_to_multiple(x, multiple: int, axis: int = 0, fill=0):
     """Host-side pad so dim ``axis`` is divisible by ``multiple``.
 

@@ -68,6 +68,7 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         total_steps: int = 10000,
         tp_axis: Optional[str] = None,
+        tracker=None,
     ):
         """``tp_axis``: name of a mesh axis to tensor-parallel the BERT
         towers over (Megatron-style column/row sharding via GSPMD, see
@@ -77,6 +78,7 @@ class Trainer:
         self.mesh = mesh
         self.total_steps = total_steps
         self.tp_axis = tp_axis
+        self.tracker = tracker
         self.is_bienc = isinstance(model, BiEncoder)
         self._tx: Optional[optax.GradientTransformation] = None
         self._train_step = None
@@ -284,13 +286,18 @@ class Trainer:
                 sharded = self._shard_batch(batch)
                 state, metrics = train_step(state, sharded)
                 if bi % cfg.print_interval == 0:
+                    loss_val = float(metrics["loss"])
                     LOGGER.info(
                         "epoch %d step %d loss %.4f (%.2f s/step)",
                         epoch,
                         int(state.step),
-                        float(metrics["loss"]),
+                        loss_val,
                         (time.time() - t0) / (bi + 1),
                     )
+                    if self.tracker is not None:
+                        self.tracker.log(
+                            {"train_loss": loss_val, "epoch": epoch}, step=int(state.step)
+                        )
             # ---- dev eval + checkpoints (reference: top-k on dev metric
             # + end-of-epoch, pairwise_trainer.py:214-237)
             if dev_data is not None:
@@ -299,6 +306,8 @@ class Trainer:
                     state, self._make_batches(dev_data, dev_negs, batch_size, epoch, shuffle=False)
                 )
                 LOGGER.info("epoch %d dev: %s", epoch, dev_metrics)
+                if self.tracker is not None:
+                    self.tracker.log(dict(dev_metrics, epoch=epoch), step=int(state.step))
                 metric_val = dev_metrics.get(
                     "dev_mrr" if cfg.ckpt_metric == "mrr" else "dev_loss", float("nan")
                 )
@@ -318,7 +327,7 @@ class Trainer:
 
     def _epoch_negatives(self, data, state: TrainState, epoch: int) -> Optional[np.ndarray]:
         cfg = self.config
-        if self.is_bienc and cfg.neg_strategy == "in_batch":
+        if self.is_bienc and cfg.neg_strategy in ("in_batch", "top_ce_match"):
             return None
         if cfg.neg_strategy == "bienc_hard_negs" and self.is_bienc:
             # re-mine with the CURRENT towers each epoch (reference:
@@ -335,6 +344,12 @@ class Trainer:
     def _make_batches(self, data, neg_labels, batch_size, epoch, shuffle=None):
         shuffle = self.config.shuffle_data if shuffle is None else shuffle
         if self.is_bienc:
+            if self.config.neg_strategy == "top_ce_match":
+                # distillation from teacher CE scores (reference
+                # 'top_ce_match' datasets, data_process.py:706-868)
+                return data_mod.distill_batches(
+                    data, self.config.distill_n_labels, batch_size, shuffle, epoch
+                )
             if neg_labels is None:
                 return (
                     {"input": b["input"], "pos": b["pos"]}

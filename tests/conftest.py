@@ -17,6 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+os.environ.setdefault("ANNCUR_ALLOW_CPU", "1")  # CLIs' accelerator guard
 
 import jax  # noqa: E402
 

@@ -87,3 +87,65 @@ def test_shipped_configs_load():
         assert cfg.model_type in ("bi_enc", "cross_enc")
         assert cfg.max_input_len == 128
         assert "american_football" in cfg.trn_files or cfg.train_domains
+
+
+def test_distill_train_cli(world_dir, tmp_path):
+    """ent_link_ce distillation training from a teacher score pickle."""
+    import numpy as np
+
+    from anncur_tpu.cli import train as train_cli
+    from anncur_tpu.indexer import save_score_matrix
+
+    rng = np.random.default_rng(0)
+    n_m, n_e, L = 20, 30, 16
+    ment_toks = rng.integers(1, 90, (n_m, L)).astype(np.int32)
+    ent_toks = rng.integers(1, 90, (n_e, L)).astype(np.int32)
+    scores = rng.standard_normal((n_m, n_e)).astype(np.float32)
+    pkl = str(tmp_path / "yugioh_train.pkl")
+    save_score_matrix(pkl, scores, ment_toks, np.arange(n_e), ent_toks)
+    npy = str(tmp_path / "yugioh_ents.npy")
+    np.save(npy, ent_toks)
+
+    cfg = {
+        "model_type": "bi_enc", "data_type": "ent_link_ce",
+        "loss_type": "ce", "pooling_type": "cls", "embed_dim": 64,
+        "neg_strategy": "top_ce_match", "distill_n_labels": 4,
+        "num_epochs": 1, "train_batch_size": 8, "grad_acc_steps": 1,
+        "max_input_len": L, "max_label_len": L,
+        "train_domains": ["yugioh"], "dev_domains": [],
+        "ent_w_score_file_template": str(tmp_path / "{}_train.pkl"),
+        "entity_token_file_template": str(tmp_path / "{}_ents.npy"),
+        "base_res_dir": str(tmp_path / "res"),
+        "bert_args": {"vocab_file": world_dir["vocab"]},
+        "fast_dev_run": 2, "save_code": False, "use_bf16": False,
+    }
+    cfg_path = str(tmp_path / "distill.json")
+    with open(cfg_path, "w") as fout:
+        json.dump(cfg, fout)
+
+    import anncur_tpu.cli.train as tmod
+    from anncur_tpu.models.bert import BertSpec
+
+    orig = tmod.build_model
+
+    def tiny_build(cfg_obj, vocab_size):
+        import jax.numpy as jnp
+
+        from anncur_tpu.models.biencoder import BiEncoder
+
+        return BiEncoder(
+            spec=BertSpec.tiny(vocab_size=vocab_size, hidden_size=64, num_layers=1),
+            pooling_type="cls", embed_dim=64, compute_dtype=jnp.float32,
+        )
+
+    tmod.build_model = tiny_build
+    try:
+        train_cli.main(["--config", cfg_path])
+    finally:
+        tmod.build_model = orig
+    # metrics JSONL written by the tracker
+    import glob
+
+    metrics = glob.glob(str(tmp_path / "res" / "**" / "metrics.jsonl"), recursive=True)
+    assert metrics, "tracker metrics not written"
+    assert any("train_loss" in l for l in open(metrics[0]))
