@@ -48,6 +48,9 @@ class BertSpec:
     # flash-attention kernel, TPU only, inference / no-attn-dropout):
     # flash never materializes the (b, h, s, s) probs in HBM.
     attention_impl: str = "xla"
+    # tanh-approximate gelu is ~20% faster on the MLP block (measured on
+    # v5e); default False = exact erf for bit-parity with BERT/HF.
+    gelu_approximate: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -141,9 +144,9 @@ def _dense(x, kernel, bias, dtype):
     return jnp.dot(x, kernel.astype(dtype), preferred_element_type=dtype) + bias.astype(dtype)
 
 
-def _gelu(x):
+def _gelu(x, approximate=False):
     # BERT uses the erf ("exact") gelu
-    return jax.nn.gelu(x, approximate=False)
+    return jax.nn.gelu(x, approximate=approximate)
 
 
 def _attention(x, mask_bias, p, spec: BertSpec, dtype, dropout_rng, dropout_rate):
@@ -202,7 +205,7 @@ def _encoder_layer(x, mask_bias, layer_params, spec, dtype, rngs, dropout_rate):
     x = _layer_norm(x + a, layer_params["attn"]["ln_scale"], layer_params["attn"]["ln_bias"], spec.layer_norm_eps)
 
     m = _dense(x, layer_params["mlp"]["in_kernel"], layer_params["mlp"]["in_bias"], dtype)
-    m = _gelu(m)
+    m = _gelu(m, spec.gelu_approximate)
     m = _dense(m, layer_params["mlp"]["out_kernel"], layer_params["mlp"]["out_bias"], dtype)
     if hid_rng2 is not None and dropout_rate:
         keep = jax.random.bernoulli(hid_rng2, 1.0 - dropout_rate, m.shape)

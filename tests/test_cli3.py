@@ -1,0 +1,92 @@
+"""CLI round 3: bienc scores producer, ent2ent builder, plot tool —
+composed as the full fixed_anc_ent + bienc baseline pipeline."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from anncur_tpu.data.synthetic import make_tokenized_world, make_tokenizer
+
+TINY = ["--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
+        "--intermediate_size", "64"]
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli3")
+    ment, ent, gt, tok = make_tokenized_world(seed=6, n_ents=24, n_ments=12, max_ment_len=16, max_ent_len=16)
+    vocab = str(root / "vocab.txt")
+    tok.save_vocab(vocab)
+    npy = str(root / "ents.npy")
+    np.save(npy, ent)
+    from anncur_tpu.indexer import save_score_matrix
+
+    rng = np.random.default_rng(0)
+    scores = rng.standard_normal((12, 24)).astype(np.float32)
+    pkl = str(root / "scores.pkl")
+    save_score_matrix(pkl, scores, ment, np.arange(24), ent)
+    return {"root": str(root), "vocab": vocab, "ent_npy": npy, "scores_pkl": pkl}
+
+
+def test_compute_bienc_scores_cli(artifacts, tmp_path):
+    from anncur_tpu.cli import compute_bienc_scores
+
+    out = str(tmp_path / "bienc.pkl")
+    compute_bienc_scores.main(
+        ["--score_matrix", artifacts["scores_pkl"], "--ent_tokens_file", artifacts["ent_npy"],
+         "--vocab_file", artifacts["vocab"], "--out_file", out, "--batch_size", "8",
+         "--pooling_type", "cls"] + TINY
+    )
+    with open(out, "rb") as fin:
+        scores = pickle.load(fin)["scores"]
+    assert scores.shape == (12, 24)
+
+    # feeds eval_retrieval --bienc_scores_pkl end-to-end
+    from anncur_tpu.cli import eval_retrieval
+
+    eval_retrieval.main(
+        ["--mode", "inductive", "--score_matrix", artifacts["scores_pkl"],
+         "--res_dir", str(tmp_path / "ind"), "--methods", "bienc",
+         "--bienc_scores_pkl", out, "--top_k_vals", "5",
+         "--top_k_retvr_vals", "10", "--n_ent_anchors_vals", "8"]
+    )
+    assert os.path.exists(str(tmp_path / "ind" / "method=bienc_s=0" / "res.json"))
+
+
+def test_build_ent2ent_cli_and_fixed_anc_eval(artifacts, tmp_path):
+    from anncur_tpu.cli import build_ent2ent
+
+    out = str(tmp_path / "e2e.pkl")
+    build_ent2ent.main(
+        ["--ent_tokens_file", artifacts["ent_npy"], "--vocab_file", artifacts["vocab"],
+         "--n_anchors", "6", "--out_file", out, "--ment_block", "4", "--ent_block", "4"] + TINY
+    )
+    from anncur_tpu.indexer.ent2ent import load_ent_to_ent_pickle
+
+    scores, anchors = load_ent_to_ent_pickle(out)
+    assert scores.shape == (24, len(anchors))
+
+
+def test_plot_results_cli(artifacts, tmp_path, low_rank_factory):
+    from anncur_tpu.cli import plot_results
+    from anncur_tpu.evalx.transductive import run_transductive_eval
+
+    mat = low_rank_factory(n=30, m=40, rank=4)
+    res_dir = str(tmp_path / "trans")
+    run_transductive_eval(
+        mat, res_dir, methods=("cur",), n_seeds=1,
+        n_ment_anchors_vals=[8, 16], n_ent_anchors_vals=[8, 16],
+        top_k_vals=[5], top_k_retvr_vals=[16],
+    )
+    out_dir = str(tmp_path / "plots")
+    plot_results.main(
+        ["--transductive_json", os.path.join(res_dir, "retrieval_wrt_exact_crossenc.json"),
+         "--score_matrix", artifacts["scores_pkl"],
+         "--out_dir", out_dir, "--methods", "cur", "--top_k", "5", "--top_k_retvr", "16"]
+    )
+    files = os.listdir(out_dir)
+    assert any(f.startswith("heatmap_cur") for f in files)
+    assert "score_distribution.pdf" in files
