@@ -38,10 +38,23 @@ class DenseIndex:
     models/nearest_nbr.py:24-55).
     """
 
-    def __init__(self, embeds: np.ndarray, mesh: Optional[Mesh] = None):
+    def __init__(
+        self,
+        embeds: np.ndarray,
+        mesh: Optional[Mesh] = None,
+        quantize: bool = False,
+    ):
+        """``quantize=True`` stores items as int8 with per-item scales
+        (ops/quantized.py): ~4x less HBM traffic on the retrieval scan at
+        <0.5% score error — pair with exact reranking for free accuracy."""
         self.embeds = jnp.asarray(embeds, jnp.float32)
         self.mesh = mesh
         self.n, self.dim = self.embeds.shape
+        self.quantized = None
+        if quantize:
+            from anncur_tpu.ops.quantized import quantize_items
+
+            self.quantized = quantize_items(self.embeds)
         if mesh is not None and mesh.devices.size > 1:
             self._padded, self._n_valid = pad_items(self.embeds, mesh.devices.size)
         else:
@@ -58,6 +71,11 @@ class DenseIndex:
         """(scores (q, k), indices (q, k)) — exact top-k by inner product."""
         queries = jnp.asarray(queries, jnp.float32)
         k = min(k, self.n)
+        if self.quantized is not None:
+            from anncur_tpu.ops.quantized import mips_topk_int8
+
+            s, i = mips_topk_int8(queries, self.quantized, k)
+            return np.asarray(s), np.asarray(i)
         if self.mesh is not None and self.mesh.devices.size > 1:
             s, i = mips_topk_sharded(
                 queries, self._padded, k, self.mesh, n_valid=self._n_valid

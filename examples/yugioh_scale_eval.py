@@ -42,8 +42,8 @@ def main():
     res = run_transductive_eval(
         mat,
         out_dir,
-        methods=("cur", "cur_oracle"),
-        n_seeds=2,
+        methods=("cur",),
+        n_seeds=1,
         n_ment_anchors_vals=[50, 100, 200, 500, 1000, 2000],
         n_ent_anchors_vals=[50, 100, 200, 500, 1000, 2000],
         top_k_vals=[10],
@@ -51,14 +51,21 @@ def main():
     )
     dt = time.time() - t0
     n_points = sum(
-        1
-        for m in ("cur", "cur_oracle")
-        for k in res[m]
-        for r in res[m][k]
-        for _ in res[m][k][r]
+        1 for k in res["cur"] for r in res["cur"][k] for _ in res["cur"][k][r]
     )
-    print(f"full sweep: {n_points} grid points x 2 seeds in {dt:.1f}s "
-          f"({dt / max(n_points * 2, 1):.2f}s per evaluation)")
+    print(f"full cur sweep: {n_points} grid points x 1 seed in {dt:.1f}s "
+          f"({dt / max(n_points, 1):.2f}s per evaluation)", flush=True)
+    # oracle upper bound at one grid point (full-matrix f64 pinv is the
+    # dominant cost; the reference pays the same, :85-88)
+    from anncur_tpu.evalx.transductive import run_approx_eval_w_seed
+
+    t0 = time.time()
+    oracle = run_approx_eval_w_seed("cur_oracle", mat, 500, 500, 10, 500, seed=0)
+    plain = run_approx_eval_w_seed("cur", mat, 500, 500, 10, 500, seed=0)
+    print(f"oracle vs cur @ (500,500): "
+          f"recall {100 * oracle['all']['exact_vs_reranked_approx_retvr~common_frac_mean']:.2f}% "
+          f"vs {100 * plain['all']['exact_vs_reranked_approx_retvr~common_frac_mean']:.2f}% "
+          f"({time.time() - t0:.1f}s)", flush=True)
 
     node = res["cur"]["top_k=10"]["k_retvr=500"]
     for key in ("anc_n_m=500~anc_n_e=500", "anc_n_m=2000~anc_n_e=2000"):
