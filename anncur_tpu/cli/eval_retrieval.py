@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument("--n_ment_anchors_vals", nargs="+", type=int, default=None)
     p.add_argument("--n_ent_anchors_vals", nargs="+", type=int, default=None)
     p.add_argument("--bienc_scores_pkl", default="", help="pickle with (n_m,n_e) bienc score matrix")
+    p.add_argument("--ment_file", default="", help="raw mentions (needed for method tfidf)")
+    p.add_argument("--ent_file", default="", help="raw entities (needed for method tfidf)")
     p.add_argument("--misc", default="")
     args = p.parse_args(argv)
 
@@ -46,6 +48,28 @@ def main(argv=None):
 
         with open(args.bienc_scores_pkl, "rb") as fin:
             bienc_scores = np.asarray(pickle.load(fin)["scores"], np.float32)
+
+    tfidf_scores = None
+    if "tfidf" in args.methods:
+        if not (args.ment_file and args.ent_file):
+            raise SystemExit("method tfidf requires --ment_file and --ent_file")
+        from anncur_tpu.data import load_entities, load_mentions
+        from anncur_tpu.data.tfidf import compute_ent_embeds_w_tfidf, compute_ment_embeds_w_tfidf
+
+        kb2local, entities = load_entities(args.ent_file)
+        mentions = load_mentions(args.ment_file, kb2local)
+        ment_idxs = data.get("arg_dict", {}).get("ment_idxs")
+        ment_texts = [m["mention"] for m in mentions]
+        if ment_idxs is not None:
+            ment_texts = [ment_texts[i] for i in ment_idxs]
+        if len(ment_texts) != exact.shape[0]:
+            raise SystemExit(
+                f"tfidf: {len(ment_texts)} mention texts != {exact.shape[0]} matrix rows "
+                "(use the split pickle's source world)"
+            )
+        ment_embeds = compute_ment_embeds_w_tfidf(entities, ment_texts)
+        ent_embeds = compute_ent_embeds_w_tfidf(entities)
+        tfidf_scores = ment_embeds @ ent_embeds.T
 
     if args.mode == "transductive":
         run_transductive_eval(
@@ -77,6 +101,7 @@ def main(argv=None):
                 top_k_retvr_vals=args.top_k_retvr_vals,
                 n_ent_anchors_vals=args.n_ent_anchors_vals,
                 bienc_scores=bienc_scores,
+                tfidf_scores=tfidf_scores,
                 misc=args.misc,
             )
 

@@ -96,26 +96,42 @@ def eval_approx_for_all_topk(
     return res
 
 
+@partial(jax.jit, static_argnames=("top_k", "top_k_retvr"))
+def _split_eval_device(exact, approx, top_k: int, top_k_retvr: int):
+    """Device-resident half of eval_split_overlap: rankings + per-row
+    squared errors. Only (q, k) index arrays and (q,) error rows leave
+    the device — on remote-TPU links shipping the full (q, n) matrices
+    to host per grid point dominates the eval wall-clock."""
+    out = retrieve_rerank(exact, approx, top_k, top_k_retvr)
+    row_sq_err = jnp.sum((approx - exact) ** 2, axis=1)
+    row_sq_base = jnp.sum(exact**2, axis=1)
+    return out["exact_indices"], out["reranked_indices"], row_sq_err, row_sq_base
+
+
 def eval_split_overlap(
-    exact: np.ndarray,
-    approx: np.ndarray,
+    exact,
+    approx,
     top_k: int,
     top_k_retvr: int,
     ment_splits: Dict[str, np.ndarray],
 ) -> Dict[str, Dict[str, float]]:
     """Per-mention-split (anchor / non_anchor / all) overlap + Frobenius
-    error (reference: run_approx_eval_w_seed, :124-154)."""
+    error (reference: run_approx_eval_w_seed, :124-154). ``exact`` /
+    ``approx`` may be device arrays; they stay on device."""
     n = exact.shape[1]
-    out_arrays = retrieve_rerank(
-        jnp.asarray(exact), jnp.asarray(approx), min(top_k, n), min(top_k_retvr, n)
+    k = min(top_k, n)
+    exact_idx, rr_idx, row_sq_err, row_sq_base = _split_eval_device(
+        jnp.asarray(exact), jnp.asarray(approx), k, min(top_k_retvr, n)
     )
-    exact_idx = np.asarray(out_arrays["exact_indices"])
-    rr_idx = np.asarray(out_arrays["reranked_indices"])
+    exact_idx = np.asarray(exact_idx)
+    rr_idx = np.asarray(rr_idx)
+    row_sq_err = np.asarray(row_sq_err, np.float64)
+    row_sq_base = np.asarray(row_sq_base, np.float64)
     res = {}
     for name, idxs in ment_splits.items():
-        stats = _overlap_stats(exact_idx[idxs], rr_idx[idxs], min(top_k, n))
-        err = float(np.linalg.norm((approx - exact)[idxs, :]))
-        base = float(np.linalg.norm(exact[idxs, :]))
+        stats = _overlap_stats(exact_idx[idxs], rr_idx[idxs], k)
+        err = float(np.sqrt(row_sq_err[idxs].sum()))
+        base = float(np.sqrt(row_sq_base[idxs].sum()))
         stats["approx_error"] = err
         stats["approx_error_relative"] = err / max(base, 1e-30)
         res[name] = stats

@@ -55,7 +55,10 @@ def cur_project_test_scores(
         approx_preference="rows",
         validate=False,
     )
-    return np.asarray(index.get_complete_row(np.asarray(test_anchor_scores, np.float32)))
+    # device array: downstream eval is device-resident (evalx/core.py)
+    import jax.numpy as jnp
+
+    return index.get_complete_row(jnp.asarray(test_anchor_scores, jnp.float32))
 
 
 def run_inductive_eval(
@@ -74,7 +77,9 @@ def run_inductive_eval(
 ) -> Dict:
     """Per-seed nested result dict {top_k -> k_retvr -> anc_n_e -> metrics}
     written to res_dir/method={method}_s={seed}{misc}/res.json."""
-    test_scores = np.asarray(test_scores, np.float32)
+    import jax.numpy as jnp
+
+    test_scores = jnp.asarray(np.asarray(test_scores, np.float32))  # one upload
     n_test, n_ents = test_scores.shape
     top_k_vals = list(top_k_vals or TOP_K_VALS)
 

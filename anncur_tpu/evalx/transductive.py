@@ -62,7 +62,7 @@ def run_approx_eval_w_seed(
     ):
         if precomp_approx is None:
             raise ValueError(f"method {approx_method} needs precomputed approx scores")
-        approx = np.asarray(precomp_approx)
+        approx = precomp_approx
     elif approx_method in ("cur", "cur_oracle"):
         index = build_cur_from_matrix(
             exact,
@@ -71,7 +71,8 @@ def run_approx_eval_w_seed(
             approx_preference="rows",
             oracle=approx_method == "cur_oracle",
         )
-        approx = np.asarray(index.reconstruct())
+        # stays a device array: only rankings/error rows come back to host
+        approx = index.reconstruct()
     else:
         raise NotImplementedError(f"approx_method={approx_method!r}")
 
@@ -169,7 +170,11 @@ def run_transductive_eval(
     (method 'bienc'). ``ent_to_ent_data``: {n_anchors: {'scores': (n_e, k),
     'anchor_ents': (k,)}} for the fixed_anc_ent methods.
     """
-    exact = np.asarray(exact, np.float32)
+    import jax.numpy as jnp
+
+    # one upload; every grid point then reads the device copy (critical
+    # on remote-TPU links where per-point matrix shipping dominates)
+    exact = jnp.asarray(np.asarray(exact, np.float32))
     total_n_ment, total_n_ent = exact.shape
 
     n_ment_anchors_vals = [

@@ -90,3 +90,31 @@ def test_plot_results_cli(artifacts, tmp_path, low_rank_factory):
     files = os.listdir(out_dir)
     assert any(f.startswith("heatmap_cur") for f in files)
     assert "score_distribution.pdf" in files
+
+
+def test_tfidf_inductive_eval_cli(tmp_path):
+    """method=tfidf through the CLI: raw texts -> tfidf scores -> eval."""
+    import numpy as np
+
+    from anncur_tpu.cli import eval_retrieval
+    from anncur_tpu.data.synthetic import make_tokenizer, make_world, write_world_files
+    from anncur_tpu.data.tokenization import tokenize_mentions
+    from anncur_tpu.indexer import save_score_matrix
+
+    rng = np.random.default_rng(3)
+    mentions, entities = make_world(rng, n_ents=25, n_ments=10)
+    files = write_world_files(str(tmp_path), mentions, entities)
+    tok = make_tokenizer()
+    ment_toks = tokenize_mentions(mentions, tok, 16)
+    scores = rng.standard_normal((10, 25)).astype(np.float32)
+    pkl = str(tmp_path / "sm.pkl")
+    save_score_matrix(pkl, scores, ment_toks, np.arange(25))
+
+    res_dir = str(tmp_path / "res")
+    eval_retrieval.main(
+        ["--mode", "inductive", "--score_matrix", pkl, "--res_dir", res_dir,
+         "--methods", "tfidf", "--ment_file", files["ment_file"],
+         "--ent_file", files["ent_file"], "--top_k_vals", "5",
+         "--top_k_retvr_vals", "10", "--n_ent_anchors_vals", "8"]
+    )
+    assert os.path.exists(os.path.join(res_dir, "method=tfidf_s=0", "res.json"))
