@@ -47,8 +47,18 @@ class CurRetriever:
     index: CurIndex
     anchor_item_ids: np.ndarray  # (k_i,)
     max_query_len: int = 128
-    rerank_batch: int = 8
+    # CE forwards are sized to ~target_pairs_per_step pairs regardless of
+    # candidate-set width: mentions per step = target // k (memory-safe
+    # AND MXU-efficient; fixed tiny batches halved throughput).
+    target_pairs_per_step: int = 2048
     pair_pad_multiple: int = 128
+
+    @property
+    def rerank_batch(self) -> int:  # back-compat alias used in tests
+        return max(1, self.target_pairs_per_step // max(1, len(self.anchor_item_ids)))
+
+    def _stage_batch(self, k: int) -> int:
+        return max(1, self.target_pairs_per_step // max(1, k))
 
     # ---------------- offline build ----------------------------------- #
 
@@ -121,7 +131,7 @@ class CurRetriever:
             np.asarray(query_tokens),
             self.item_tokens,
             cand,
-            batch_ments=self.rerank_batch,
+            batch_ments=self._stage_batch(cand.shape[1]),
             pair_pad_multiple=self.pair_pad_multiple,
         )
         return jnp.asarray(scores)
@@ -135,7 +145,8 @@ class CurRetriever:
             np.asarray(query_tokens),
             self.item_tokens,
             cand_idx,
-            batch_ments=self.rerank_batch,
+            batch_ments=self._stage_batch(cand_idx.shape[1]),
+            pair_pad_multiple=self.pair_pad_multiple,
         )
 
     def query_tokens_batch(

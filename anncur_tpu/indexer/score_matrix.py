@@ -149,11 +149,29 @@ class ScoreMatrixBuilder:
                     row_start=start,
                 )
 
+        def drain(pending_item):
+            """Blocking pull of one dispatched step (jax arrays are
+            futures: keeping one step in flight overlaps device compute
+            + link transfer with the next dispatch)."""
+            j, take_j, fut = pending_item
+            scores_j = np.asarray(fut)
+            out[j : j + take_j] = scores_j[:take_j, :n_e]
+            chunk_buf.append(scores_j[:take_j, :n_e])
+            if progress_cb is not None:
+                progress_cb((j + take_j) / n_m)
+            return j + take_j
+
+        pending = None
         i = 0
         while i < n_m:
             if chunk_dir is not None:
                 cpath = os.path.join(chunk_dir, f"chunk_{i}.npz")
                 if os.path.exists(cpath) and i % chunk_rows == 0:
+                    if pending is not None:
+                        done_to = drain(pending)
+                        pending = None
+                        flush_chunk(chunk_start, chunk_buf)
+                        chunk_start, chunk_buf = done_to, []
                     data = np.load(cpath)
                     rows = data["scores"]
                     out[i : i + rows.shape[0]] = rows[:, :n_e]
@@ -163,16 +181,18 @@ class ScoreMatrixBuilder:
             block = np.zeros((bm, lm), ment_tokens.dtype)
             take = min(bm, n_m - i)
             block[:take] = ment_tokens[i : i + take]
-            scores = np.asarray(jax.device_get(step(params, jnp.asarray(block), ent_sharded)))
-            out[i : i + take] = scores[:take, :n_e]
-            chunk_buf.append(scores[:take, :n_e])
+            fut = step(params, jnp.asarray(block), ent_sharded)  # async dispatch
+            if pending is not None:
+                done_to = drain(pending)
+                if chunk_dir is not None and done_to - chunk_start >= chunk_rows:
+                    flush_chunk(chunk_start, chunk_buf)
+                    chunk_start, chunk_buf = done_to, []
+            pending = (i, take, fut)
             i += take
-            if chunk_dir is not None and (i - chunk_start >= chunk_rows or i >= n_m):
-                flush_chunk(chunk_start, chunk_buf)
-                chunk_start = i
-                chunk_buf = []
-            if progress_cb is not None:
-                progress_cb(i / n_m)
+        if pending is not None:
+            drain(pending)
+        if chunk_dir is not None and chunk_buf:
+            flush_chunk(chunk_start, chunk_buf)
         LOGGER.info(
             "score matrix %dx%d built in %.1fs (%.0f pairs/s)",
             n_m,
