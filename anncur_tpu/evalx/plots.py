@@ -123,6 +123,59 @@ def plot_recall_vs_cost(
     return out_path
 
 
+def plot_recall_vs_domain_size(
+    per_domain: Dict[str, Dict[str, float]],
+    out_path: str,
+    metric_label: str = "recall@k (%)",
+) -> str:
+    """RQ3-style plot: recall vs number of entities per domain
+    (reference: plot family at utils/plot_emnlp...py:442+).
+    per_domain: {domain: {'n_ents': int, 'recall': float 0..1}}."""
+    fig, ax = plt.subplots(figsize=(7, 5))
+    items = sorted(per_domain.items(), key=lambda kv: kv[1]["n_ents"])
+    xs = [v["n_ents"] for _, v in items]
+    ys = [100 * v["recall"] for _, v in items]
+    ax.plot(xs, ys, marker="o")
+    for (name, v), x, y in zip(items, xs, ys):
+        ax.annotate(name, (x, y), fontsize=8, rotation=30)
+    ax.set_xscale("log")
+    ax.set_xlabel("number of entities in domain")
+    ax.set_ylabel(metric_label)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def plot_recall_vs_train_size(
+    by_train_size: Dict[int, Dict[str, float]],
+    out_path: str,
+    metric_label: str = "recall@k (%)",
+) -> str:
+    """RQ4-style plot: recall vs number of anchor/train mentions
+    (reference: plot family at utils/plot_emnlp...py:550+).
+    by_train_size: {nm_train: {method: recall 0..1}}."""
+    fig, ax = plt.subplots(figsize=(7, 5))
+    sizes = sorted(by_train_size)
+    methods = sorted({m for v in by_train_size.values() for m in v})
+    for method in methods:
+        ys = [100 * by_train_size[s][method] for s in sizes if method in by_train_size[s]]
+        xs = [s for s in sizes if method in by_train_size[s]]
+        ax.plot(xs, ys, marker="o", label=method)
+    ax.set_xscale("log")
+    ax.set_xlabel("number of train/anchor mentions")
+    ax.set_ylabel(metric_label)
+    ax.grid(alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
 def plot_score_distribution(
     score_matrix: np.ndarray, out_path: str, n_sample: int = 20
 ) -> str:

@@ -165,3 +165,18 @@ def test_heat_map_from_transductive(tmp_path, low_rank_factory):
     )
     out = heat_map_from_transductive(res, "cur", 5, 16, str(tmp_path))
     assert out is not None and os.path.exists(out)
+
+
+def test_rq_plots(tmp_path):
+    from anncur_tpu.evalx.plots import plot_recall_vs_domain_size, plot_recall_vs_train_size
+
+    p1 = plot_recall_vs_domain_size(
+        {"yugioh": {"n_ents": 10031, "recall": 0.9},
+         "military": {"n_ents": 104520, "recall": 0.8}},
+        str(tmp_path / "rq3.pdf"),
+    )
+    p2 = plot_recall_vs_train_size(
+        {100: {"cur": 0.7, "bienc": 0.5}, 2000: {"cur": 0.95, "bienc": 0.5}},
+        str(tmp_path / "rq4.pdf"),
+    )
+    assert os.path.exists(p1) and os.path.exists(p2)

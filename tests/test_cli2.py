@@ -149,3 +149,25 @@ def test_distill_train_cli(world_dir, tmp_path):
     metrics = glob.glob(str(tmp_path / "res" / "**" / "metrics.jsonl"), recursive=True)
     assert metrics, "tracker metrics not written"
     assert any("train_loss" in l for l in open(metrics[0]))
+
+
+def test_reference_config_files_load_unchanged():
+    """The reference repo's own JSON configs load into our Config (field
+    names intentionally mirror utils/config.py:82-170)."""
+    import os
+
+    from anncur_tpu.config import Config
+
+    ref = "/root/reference/config"
+    if not os.path.isdir(ref):
+        pytest.skip("reference not mounted")
+    for name in ("el_zeshel_bi_enc.json", "el_zeshel_cross_enc.json",
+                 "ce_distill/zeshel_bi_enc_distill.json"):
+        cfg = Config.from_json(os.path.join(ref, name))
+        assert cfg.model_type in ("bi_enc", "cross_enc")
+        assert cfg.bert_model == "bert-base-uncased"
+        assert cfg.num_epochs >= 1
+        # list-form trn_files are handled by the train CLI
+        if cfg.trn_files:
+            v = next(iter(cfg.trn_files.values()))
+            assert isinstance(v, (list, dict))
