@@ -1,0 +1,108 @@
+"""Batch/interactive query serving over a built CUR index.
+
+Completes the production story: load encoder params + CUR index + item
+tokens, then answer queries from a JSONL file (or stdin lines formatted
+'mention<TAB>context_left<TAB>context_right') with top-k item ids at
+cost = n_anchors + top_k_retvr CE calls per query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+import numpy as np
+
+from anncur_tpu.core.cur import load_cur_index
+from anncur_tpu.core.retriever import CurRetriever
+from anncur_tpu.models.bert import BertSpec
+from anncur_tpu.models.crossencoder import CrossEncoder
+from anncur_tpu.models.tokenizer import WordPieceTokenizer
+from anncur_tpu.train.checkpoint import load_pytree
+
+LOGGER = logging.getLogger("anncur_tpu.serve")
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True, help="CUR index pickle (save_cur_index)")
+    p.add_argument("--ent_tokens_file", required=True)
+    p.add_argument("--vocab_file", required=True)
+    p.add_argument("--crossenc_ckpt", default="")
+    p.add_argument("--cross_enc_type", default="default")
+    p.add_argument("--queries", default="-", help="JSONL with mention/context_left/context_right ('-' = stdin TSV)")
+    p.add_argument("--out", default="-", help="output JSONL ('-' = stdout)")
+    p.add_argument("--top_k", type=int, default=10)
+    p.add_argument("--top_k_retvr", type=int, default=100)
+    p.add_argument("--max_query_len", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hidden_size", type=int, default=768)
+    p.add_argument("--num_layers", type=int, default=12)
+    p.add_argument("--num_heads", type=int, default=12)
+    p.add_argument("--intermediate_size", type=int, default=3072)
+    args = p.parse_args(argv)
+
+    import jax
+
+    tokenizer = WordPieceTokenizer.from_vocab_file(args.vocab_file)
+    ent_toks = np.load(args.ent_tokens_file).astype(np.int32)
+    index = load_cur_index(args.index)
+    spec = BertSpec(
+        vocab_size=tokenizer.vocab_size,
+        hidden_size=args.hidden_size,
+        num_layers=args.num_layers,
+        num_heads=args.num_heads,
+        intermediate_size=args.intermediate_size,
+    )
+    ce = CrossEncoder(spec=spec, cross_enc_type=args.cross_enc_type)
+    if args.crossenc_ckpt:
+        tree, _ = load_pytree(args.crossenc_ckpt)
+        params = tree.get("params", tree)
+    else:
+        LOGGER.warning("no --crossenc_ckpt: random cross-encoder")
+        params = ce.init(jax.random.PRNGKey(args.seed))
+
+    retriever = CurRetriever(
+        encoder=ce,
+        params=params,
+        tokenizer=tokenizer,
+        item_tokens=ent_toks,
+        index=index,
+        anchor_item_ids=np.asarray(index.col_idxs),
+        max_query_len=args.max_query_len,
+    )
+    LOGGER.info(
+        "serving: %d items, %d anchor items, cost/query = %d + top_k_retvr CE calls",
+        ent_toks.shape[0], len(retriever.anchor_item_ids), retriever.cost_per_query,
+    )
+
+    fin = sys.stdin if args.queries == "-" else open(args.queries)
+    fout = sys.stdout if args.out == "-" else open(args.out, "w")
+    with fin, fout:
+        for line in fin:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if args.queries == "-" or not line.startswith("{"):
+                parts = line.split("\t")
+                query = {"mention": parts[0],
+                         "context_left": parts[1] if len(parts) > 1 else "",
+                         "context_right": parts[2] if len(parts) > 2 else ""}
+            else:
+                query = json.loads(line)
+            results = retriever.query(
+                query["mention"],
+                context_left=query.get("context_left", ""),
+                context_right=query.get("context_right", ""),
+                top_k=args.top_k,
+                top_k_retvr=args.top_k_retvr,
+            )
+            fout.write(json.dumps({"query": query["mention"], "results": results}) + "\n")
+            fout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -118,3 +118,58 @@ def test_tfidf_inductive_eval_cli(tmp_path):
          "--top_k_retvr_vals", "10", "--n_ent_anchors_vals", "8"]
     )
     assert os.path.exists(os.path.join(res_dir, "method=tfidf_s=0", "res.json"))
+
+
+def test_serve_cli(tmp_path):
+    """serve CLI: build an index, persist it, answer file queries."""
+    import json as _json
+
+    import numpy as np
+
+    from anncur_tpu.cli import serve
+    from anncur_tpu.core.cur import build_cur, save_cur_index
+    from anncur_tpu.data.synthetic import make_tokenized_world
+
+    ment, ent, gt, tok = make_tokenized_world(seed=12, n_ents=20, n_ments=10,
+                                              max_ment_len=16, max_ent_len=16)
+    vocab = str(tmp_path / "vocab.txt")
+    tok.save_vocab(vocab)
+    npy = str(tmp_path / "ents.npy")
+    np.save(npy, ent)
+    rng = np.random.default_rng(0)
+    train_scores = rng.standard_normal((6, 20)).astype(np.float32)
+    anchors = np.arange(0, 20, 4)
+    index = build_cur(train_scores, train_scores[:, anchors], np.arange(6), anchors,
+                      validate=False)
+    idx_path = str(tmp_path / "index.pkl")
+    save_cur_index(idx_path, index)
+
+    qfile = str(tmp_path / "queries.jsonl")
+    with open(qfile, "w") as fout:
+        fout.write(_json.dumps({"mention": "alpha beta", "context_left": "gamma"}) + "\n")
+        fout.write(_json.dumps({"mention": "delta"}) + "\n")
+    out = str(tmp_path / "out.jsonl")
+    serve.main(
+        ["--index", idx_path, "--ent_tokens_file", npy, "--vocab_file", vocab,
+         "--queries", qfile, "--out", out, "--top_k", "3", "--top_k_retvr", "8",
+         "--max_query_len", "16",
+         "--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
+         "--intermediate_size", "64"]
+    )
+    lines = [_json.loads(l) for l in open(out)]
+    assert len(lines) == 2
+    assert len(lines[0]["results"]) == 3
+    assert all(0 <= i < 20 for i, _ in lines[0]["results"])
+
+
+def test_combine_chunks_gap_detection(tmp_path):
+    """Missing chunk -> loud failure, not silent truncation."""
+    import numpy as np
+
+    from anncur_tpu.indexer import combine_chunks
+
+    d = str(tmp_path)
+    np.savez_compressed(os.path.join(d, "chunk_0.npz"), scores=np.ones((4, 6)), row_start=0)
+    np.savez_compressed(os.path.join(d, "chunk_8.npz"), scores=np.ones((4, 6)), row_start=8)
+    with pytest.raises(ValueError, match="gap"):
+        combine_chunks(d)
