@@ -99,6 +99,7 @@ def build_model(cfg: Config, vocab_size: int):
             embed_dim=cfg.embed_dim,
             add_linear_layer=cfg.add_linear_layer,
             compute_dtype=dtype,
+            remat=cfg.use_remat,
         )
     if cfg.model_type == "cross_enc":
         return CrossEncoder(
@@ -106,6 +107,7 @@ def build_model(cfg: Config, vocab_size: int):
             cross_enc_type=cfg.cross_enc_type,
             pooling_type=cfg.pooling_type or "cls_w_lin",
             compute_dtype=dtype,
+            remat=cfg.use_remat,
         )
     raise ValueError(f"model_type={cfg.model_type!r}")
 

@@ -75,6 +75,7 @@ class Config:
     learning_rate: float = 1e-5
     weight_decay: float = 0.01
     use_bf16: bool = True  # compute dtype on TPU (reference: fp16 flag)
+    use_remat: bool = False  # rematerialize encoder layers in backprop
 
     ckpt_path: str = ""
     model_type: str = ""  # bi_enc | cross_enc

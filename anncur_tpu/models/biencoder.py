@@ -49,6 +49,9 @@ class BiEncoder:
     embed_dim: int = 768
     add_linear_layer: bool = False
     compute_dtype: Any = jnp.bfloat16
+    # rematerialize encoder layers during backprop (memory for FLOPs;
+    # enables larger training batches)
+    remat: bool = False
 
     def __post_init__(self):
         if not self.add_linear_layer and self.embed_dim != self.spec.hidden_size:
@@ -107,6 +110,7 @@ class BiEncoder:
             compute_dtype=self.compute_dtype,
             dropout_rng=rng,
             dropout=train,
+            remat=self.remat,
         )
         if self.pooling_type == "spl_tkns":
             # special-token towers (reference: models/biencoder.py:165-173)

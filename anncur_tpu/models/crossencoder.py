@@ -53,6 +53,9 @@ class CrossEncoder:
     cross_enc_type: str = "default"  # default | w_embeds
     pooling_type: str = "cls_w_lin"
     compute_dtype: Any = jnp.bfloat16
+    # rematerialize encoder layers during backprop (memory for FLOPs;
+    # enables larger training batches)
+    remat: bool = False
 
     def init(self, key: jax.Array) -> Dict[str, Any]:
         k_bert, k_lin = jax.random.split(key)
@@ -81,6 +84,7 @@ class CrossEncoder:
             compute_dtype=self.compute_dtype,
             dropout_rng=rng,
             dropout=train,
+            remat=self.remat,
         ), token_ids
 
     def score(

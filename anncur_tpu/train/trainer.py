@@ -276,6 +276,8 @@ class Trainer:
         batch_size = cfg.train_batch_size
         fast_dev = cfg.fast_dev_run
 
+        eval_every = int(cfg.eval_interval) if cfg.eval_interval and cfg.eval_interval > 0 else 0
+        steps_since_eval = 0
         for epoch in range(start_epoch, cfg.num_epochs):
             neg_labels = self._epoch_negatives(train_data, state, epoch)
             batches = self._make_batches(train_data, neg_labels, batch_size, epoch)
@@ -285,6 +287,12 @@ class Trainer:
                     break
                 sharded = self._shard_batch(batch)
                 state, metrics = train_step(state, sharded)
+                steps_since_eval += 1
+                if eval_every and dev_data is not None and steps_since_eval >= eval_every:
+                    # mid-epoch dev eval + top-k checkpointing (reference:
+                    # eval_interval / PL val_check_interval)
+                    steps_since_eval = 0
+                    self._dev_eval_and_ckpt(state, dev_data, batch_size, epoch)
                 if bi % cfg.print_interval == 0:
                     loss_val = float(metrics["loss"])
                     LOGGER.info(
@@ -301,29 +309,33 @@ class Trainer:
             # ---- dev eval + checkpoints (reference: top-k on dev metric
             # + end-of-epoch, pairwise_trainer.py:214-237)
             if dev_data is not None:
-                dev_negs = mine_dev = self._epoch_negatives(dev_data, state, epoch)
-                dev_metrics = self.evaluate(
-                    state, self._make_batches(dev_data, dev_negs, batch_size, epoch, shuffle=False)
-                )
-                LOGGER.info("epoch %d dev: %s", epoch, dev_metrics)
-                if self.tracker is not None:
-                    self.tracker.log(dict(dev_metrics, epoch=epoch), step=int(state.step))
-                metric_val = dev_metrics.get(
-                    "dev_mrr" if cfg.ckpt_metric == "mrr" else "dev_loss", float("nan")
-                )
-                if np.isfinite(metric_val):
-                    self._ckpt.maybe_save(
-                        {"params": state.params, "opt_state": state.opt_state, "step": int(state.step)},
-                        metric_val,
-                        int(state.step),
-                        epoch,
-                    )
+                self._dev_eval_and_ckpt(state, dev_data, batch_size, epoch)
             self._ckpt.save_end_of_epoch(
                 {"params": state.params, "opt_state": state.opt_state, "step": int(state.step)},
                 epoch,
                 int(state.step),
             )
         return state
+
+    def _dev_eval_and_ckpt(self, state: TrainState, dev_data, batch_size: int, epoch: int) -> None:
+        cfg = self.config
+        dev_negs = self._epoch_negatives(dev_data, state, epoch)
+        dev_metrics = self.evaluate(
+            state, self._make_batches(dev_data, dev_negs, batch_size, epoch, shuffle=False)
+        )
+        LOGGER.info("epoch %d dev: %s", epoch, dev_metrics)
+        if self.tracker is not None:
+            self.tracker.log(dict(dev_metrics, epoch=epoch), step=int(state.step))
+        metric_val = dev_metrics.get(
+            "dev_mrr" if cfg.ckpt_metric == "mrr" else "dev_loss", float("nan")
+        )
+        if np.isfinite(metric_val):
+            self._ckpt.maybe_save(
+                {"params": state.params, "opt_state": state.opt_state, "step": int(state.step)},
+                metric_val,
+                int(state.step),
+                epoch,
+            )
 
     def _epoch_negatives(self, data, state: TrainState, epoch: int) -> Optional[np.ndarray]:
         cfg = self.config

@@ -167,3 +167,39 @@ def test_distill_batches_and_loss(tiny_world, rng):
     batches = list(distill_batches(data, top_n_labels=4, batch_size=8))
     assert batches and batches[0]["labels"].shape == (8, 4, 16)
     assert batches[0]["target_scores"].shape == (8, 4)
+
+
+def test_remat_training_matches(tmp_path, tiny_world, mesh8):
+    """remat=True must give identical losses (it only changes memory)."""
+    import dataclasses as dc
+
+    data, tok = tiny_world
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64)
+    cfg = _mk_config(tmp_path, model_type="bi_enc", loss_type="ce")
+    from anncur_tpu.train.data import bienc_batches
+
+    negs = mine_negatives(data, "random", cfg.num_negs, seed=0)
+    batch = next(bienc_batches(data, negs, cfg.train_batch_size, shuffle=False))
+    losses = {}
+    for remat in (False, True):
+        enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=32,
+                        compute_dtype=jnp.float32, remat=remat)
+        trainer = Trainer(cfg, enc, mesh=mesh8, total_steps=10)
+        state = trainer.init_state()
+        step = trainer.make_train_step()
+        state, m = step(state, trainer._shard_batch(batch))
+        losses[remat] = float(m["loss"])
+    assert abs(losses[True] - losses[False]) < 1e-5
+
+
+def test_mid_epoch_eval_interval(tmp_path, tiny_world, mesh8):
+    data, tok = tiny_world
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64)
+    enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=32, compute_dtype=jnp.float32)
+    cfg = _mk_config(tmp_path, model_type="bi_enc", loss_type="ce", num_epochs=1)
+    cfg.eval_interval = 2  # dev eval every 2 steps
+    trainer = Trainer(cfg, enc, mesh=mesh8, total_steps=10)
+    trainer.train(data, dev_data=data)
+    ckpt_dir = os.path.join(cfg.result_dir, "model")
+    # top-k checkpoints appear mid-epoch (multiple saves for 4 steps)
+    assert any(f.startswith("loss=") for f in os.listdir(ckpt_dir))
