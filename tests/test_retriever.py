@@ -73,3 +73,16 @@ def test_build_with_precomputed_scores(retriever_setup, mesh8):
     )
     np.testing.assert_array_equal(r2.anchor_item_ids, retriever.anchor_item_ids)
     assert r2.cost_per_query == 12
+
+
+def test_query_adaptive(retriever_setup):
+    retriever, ment, full_scores, builder = retriever_setup
+    test_toks = ment[16:20]
+    scores, ids = retriever.query_tokens_adaptive(
+        test_toks, total_budget=24, n_rounds=3, top_k=5,
+        train_scores=full_scores[:16],
+    )
+    assert scores.shape == (4, 5) and ids.shape == (4, 5)
+    # returned scores are exact CE scores at those items
+    for i in range(4):
+        np.testing.assert_allclose(scores[i], full_scores[16 + i, ids[i]], rtol=1e-4, atol=1e-4)
