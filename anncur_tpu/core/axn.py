@@ -1,0 +1,137 @@
+"""AXN-style indexing: factorized item embeddings + online regression.
+
+Second follow-up technique (after the same authors' arXiv 2405.03651,
+"Adaptive Retrieval and Scalable Indexing for k-NN Search with
+Cross-Encoders"), extending the CUR engine:
+
+offline:  fit rank-r item embeddings E (n_items, r) from the train score
+          matrix M ~= Q E^T via truncated SVD — unlike CUR, every train
+          score (not just anchor columns) shapes the item space, and the
+          rank is chosen independently of the anchor-column count.
+online:   a new query scores a small item set S with the CE; its latent
+          embedding solves the ridge problem
+              q* = argmin_q ||s_S - q E_S^T||^2 + lam ||q||^2
+          and approx scores for ALL items are q* @ E^T. Combine with
+          adaptive rounds (core/adaptive.py pattern) or a single shot.
+
+All device math is jit-able; the per-query solve is an (r x r) system.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("item_embeds", "mean"),
+    meta_fields=(),
+)
+@dataclasses.dataclass(frozen=True)
+class AxnIndex:
+    item_embeds: jax.Array  # (n_items, r)
+    mean: jax.Array  # (n_items,) per-item train-score mean
+
+    @property
+    def rank(self) -> int:
+        return self.item_embeds.shape[1]
+
+
+def fit_item_embeddings(
+    train_scores: np.ndarray,  # (n_train, n_items)
+    rank: int,
+    center: bool = True,
+) -> AxnIndex:
+    """Truncated SVD of the (centered) train matrix: M - mu ~= U S V^T;
+    item embeddings = V_r S_r (so queries live in left-singular space
+    with unit covariance)."""
+    m = np.asarray(train_scores, np.float64)
+    mu = m.mean(axis=0) if center else np.zeros(m.shape[1])
+    mc = m - mu[None, :]
+    rank = min(rank, min(mc.shape))
+    u, s, vt = np.linalg.svd(mc, full_matrices=False)
+    item_embeds = (vt[:rank].T * s[:rank][None, :]).astype(np.float32)  # (n_items, r)
+    return AxnIndex(item_embeds=jnp.asarray(item_embeds), mean=jnp.asarray(mu, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def axn_complete(
+    index: AxnIndex,
+    scored_item_ids: jax.Array,  # (k,) int
+    scored_values: jax.Array,  # (q, k) exact CE scores at those items
+    lam: float = 1e-3,
+) -> jax.Array:
+    """(q, n_items) approximate scores via per-query ridge regression on
+    the observed entries."""
+    e_s = index.item_embeds[scored_item_ids]  # (k, r)
+    mu_s = index.mean[scored_item_ids]  # (k,)
+    y = scored_values - mu_s[None, :]  # (q, k)
+    r = index.item_embeds.shape[1]
+    gram = jnp.dot(e_s.T, e_s, preferred_element_type=jnp.float32, precision="highest")
+    gram = gram + lam * jnp.eye(r, dtype=jnp.float32)
+    rhs = jnp.dot(e_s.T, y.T, preferred_element_type=jnp.float32, precision="highest")
+    q_emb = jnp.linalg.solve(gram, rhs).T  # (q, r)
+    approx = (
+        jnp.dot(
+            q_emb, index.item_embeds.T, preferred_element_type=jnp.float32, precision="highest"
+        )
+        + index.mean[None, :]
+    )
+    return approx
+
+
+def axn_query(
+    index: AxnIndex,
+    score_items_fn,
+    n_items: int,
+    total_budget: int,
+    n_rounds: int = 2,
+    top_k: int = 10,
+    lam: float = 1e-3,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Adaptive AXN retrieval: like core/adaptive.py but completing
+    through the learned embedding space (solve instead of pinv-per-query,
+    so rounds cost O(k r^2) not O(n_train^2))."""
+    rng = np.random.default_rng(seed)
+    per_round = max(1, total_budget // n_rounds)
+    first = total_budget - per_round * (n_rounds - 1)
+
+    ids0 = np.asarray(sorted(rng.choice(n_items, size=first, replace=False)))
+    vals0 = np.asarray(score_items_fn(ids0))
+    n_q = vals0.shape[0]
+    scored_ids = [list(ids0) for _ in range(n_q)]
+    scored_vals = [list(vals0[i]) for i in range(n_q)]
+
+    for _ in range(n_rounds - 1):
+        next_ids = np.empty((n_q, per_round), np.int64)
+        for i in range(n_q):
+            ids = jnp.asarray(np.asarray(scored_ids[i]))
+            vals = jnp.asarray(np.asarray(scored_vals[i], np.float32)[None, :])
+            approx = np.asarray(axn_complete(index, ids, vals, lam))[0]
+            order = np.argsort(-approx)
+            seen = set(scored_ids[i])
+            next_ids[i] = [j for j in order if j not in seen][:per_round]
+        unique = np.unique(next_ids)
+        uni_scores = np.asarray(score_items_fn(unique))
+        pos = {int(j): c for c, j in enumerate(unique)}
+        for i in range(n_q):
+            for j in next_ids[i]:
+                scored_ids[i].append(int(j))
+                scored_vals[i].append(float(uni_scores[i, pos[int(j)]]))
+
+    out_scores = np.full((n_q, top_k), -np.inf, np.float32)
+    out_ids = np.zeros((n_q, top_k), np.int64)
+    for i in range(n_q):
+        ids = np.asarray(scored_ids[i])
+        vals = np.asarray(scored_vals[i], np.float32)
+        order = np.argsort(-vals)[:top_k]
+        out_ids[i, : len(order)] = ids[order]
+        out_scores[i, : len(order)] = vals[order]
+    return out_scores, out_ids
