@@ -132,6 +132,58 @@ def run_inductive_eval(
             approx_per_budget[n_anc] = fixed_anc_ent_cur_approx(
                 test_scores, np.asarray(ent_to_ent_data["scores"]), n_anc, seed=seed
             )
+    elif method in ("adaptive_cur", "axn"):
+        # adaptive multi-round methods: the whole CE budget is spent in
+        # rounds; recorded under k_retvr=0 so cost = n_ent_anchors
+        # (= total budget) in the recall-vs-cost tables
+        if train_scores is None:
+            raise ValueError(f"method {method!r} requires train_scores")
+        train_np = np.asarray(train_scores, np.float32)
+        test_np = np.asarray(test_scores, np.float32)
+
+        def score_items_fn(ids):
+            return test_np[:, ids]
+
+        exact_top = {k: np.argsort(-test_np, axis=1)[:, :k] for k in top_k_vals}
+        from anncur_tpu.core.metrics import topk_overlap_frac
+        from anncur_tpu.evalx.core import _overlap_stats
+
+        result: Dict = defaultdict(lambda: defaultdict(dict))
+        max_k = max(top_k_vals)
+        for budget in n_ent_anchors_vals:
+            if budget < max_k:
+                continue
+            if method == "adaptive_cur":
+                from anncur_tpu.core.adaptive import adaptive_cur_query
+
+                _, ids, _ = adaptive_cur_query(
+                    train_np, score_items_fn, n_ents, budget,
+                    n_rounds=3, top_k=max_k, seed=seed,
+                )
+            else:
+                from anncur_tpu.core.axn import axn_query, fit_item_embeddings
+
+                index = fit_item_embeddings(train_np, rank=min(128, train_np.shape[0]))
+                _, ids = axn_query(
+                    index, score_items_fn, n_ents, budget,
+                    n_rounds=3, top_k=max_k, seed=seed,
+                )
+            for k in top_k_vals:
+                result[f"top_k={k}"]["k_retvr=0"][f"anc_n_e={budget}"] = _overlap_stats(
+                    exact_top[k], np.asarray(ids)[:, :k], k
+                )
+        result = json.loads(json.dumps(result))
+        result["other_args"] = {
+            "method": method, "seed": seed, "top_k_vals": top_k_vals,
+            "n_ent_anchors_vals": list(n_ent_anchors_vals),
+            "n_test": n_test, "n_ents": n_ents,
+            "cost_model": "cost = n_ent_anchors (total adaptive CE budget)",
+        }
+        out_dir = os.path.join(res_dir, f"method={method}_s={seed}{misc}")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "res.json"), "w") as fout:
+            json.dump(result, fout, indent=4)
+        return result
     else:
         raise NotImplementedError(f"method={method!r}")
 

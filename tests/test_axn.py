@@ -65,3 +65,23 @@ def test_axn_vs_cur_equal_budget(rng):
     _, fixed_recall = adaptive_recall_vs_fixed(full, train, 80, n_rounds=2, top_k=10)
     assert axn_recall >= fixed_recall, (axn_recall, fixed_recall)
     assert axn_recall > 0.6, axn_recall
+
+
+def test_adaptive_methods_via_inductive_eval(tmp_path, rng):
+    from anncur_tpu.evalx.aggregate import recall_vs_cost_table
+    from anncur_tpu.evalx.inductive import run_inductive_eval
+
+    full, train = make(rng, 12, 60, 200, rank=20, noise=0.1)
+    for method in ("adaptive_cur", "axn"):
+        res = run_inductive_eval(
+            full, train, str(tmp_path), method=method,
+            top_k_vals=[10], n_ent_anchors_vals=[30, 60],
+            top_k_retvr_vals=[1],
+        )
+        node = res["top_k=10"]["k_retvr=0"]
+        assert "anc_n_e=30" in node and "anc_n_e=60" in node
+        r30 = node["anc_n_e=30"]["exact_vs_reranked_approx_retvr~common_frac_mean"]
+        r60 = node["anc_n_e=60"]["exact_vs_reranked_approx_retvr~common_frac_mean"]
+        assert r60 >= r30 - 0.1  # more budget shouldn't hurt
+        rows = recall_vs_cost_table(res, method, top_k=10)
+        assert rows[0]["cost"] == 30  # cost = budget (k_retvr=0)
