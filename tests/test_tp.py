@@ -72,3 +72,45 @@ def test_tp_train_step_matches_replicated(mesh42):
         assert np.isfinite(losses[name])
     # same init seed + same batch -> identical loss regardless of sharding
     assert abs(losses["tp"] - losses["replicated"]) < 1e-4
+
+
+def test_builder_on_2d_mesh(mesh42):
+    """Entity-sharded score-matrix build must work when the mesh has
+    extra axes (entities split on 'data', replicated over 'model')."""
+    import numpy as np
+
+    from anncur_tpu.data.synthetic import make_tokenized_world
+    from anncur_tpu.indexer.score_matrix import ScoreMatrixBuilder
+    from anncur_tpu.models.crossencoder import CrossEncoder
+
+    ment, ent, gt, tok = make_tokenized_world(seed=13, n_ents=32, n_ments=6,
+                                              max_ment_len=16, max_ent_len=16)
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, max_position_embeddings=64)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(0))
+    b2d = ScoreMatrixBuilder(ce, mesh42, ment_block=3, ent_block=4, pair_pad_multiple=32)
+    got = b2d(params, ment, ent)
+    from anncur_tpu.parallel import make_mesh
+
+    b1d = ScoreMatrixBuilder(ce, make_mesh((8,), ("data",)), ment_block=3, ent_block=4, pair_pad_multiple=32)
+    want = b1d(params, ment, ent)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_merge_worlds_units():
+    import numpy as np
+
+    from anncur_tpu.train.data import EntLinkDataset, merge_worlds, mine_negatives
+
+    d1 = EntLinkDataset(np.ones((4, 8), np.int32), np.ones((10, 8), np.int32),
+                        np.array([1, 2, 3, 4]))
+    d2 = EntLinkDataset(np.ones((3, 6), np.int32) * 2, np.ones((5, 6), np.int32) * 2,
+                        np.array([0, 1, 2]))
+    m = merge_worlds([d1, d2])
+    assert m.n_ments == 7 and m.n_ents == 15
+    assert m.mention_tokens.shape == (7, 8) and m.entity_tokens.shape == (15, 8)
+    np.testing.assert_array_equal(m.gt_labels[4:], [10, 11, 12])
+    # negatives stay within each mention's world
+    negs = mine_negatives(m, "random", num_negs=4, seed=0)
+    assert np.all(negs[:4] < 10)
+    assert np.all(negs[4:] >= 10) and np.all(negs[4:] < 15)
