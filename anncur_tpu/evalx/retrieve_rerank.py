@@ -9,6 +9,7 @@ search and rerank all stay on device), and CE reranking batches all
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -55,7 +56,11 @@ def crossenc_rerank_scores(
     batch_ments: int = 4,
     pair_pad_multiple: int = 128,
 ) -> np.ndarray:
-    """Exact CE scores for each mention's candidate set, (n_m, k)."""
+    """Exact CE scores for each mention's candidate set, (n_m, k).
+
+    One jit program: ``lax.scan`` over mention chunks with the candidate
+    token gather on device — a single host round trip regardless of
+    n_m (the per-chunk python loop paid one link round trip each)."""
     n_m, lm = ment_tokens.shape
     k = cand_idx.shape[1]
     le = ent_tokens.shape[1]
@@ -63,25 +68,37 @@ def crossenc_rerank_scores(
     pad = min(pair_pad_multiple, ce.spec.max_position_embeddings)
     pair_len += (-pair_len) % pad
 
-    @jax.jit
-    def step(p, ments, cands):  # (bm, Lm), (bm, k, Le)
-        bm = ments.shape[0]
-        left = jnp.broadcast_to(ments[:, None, :], (bm, k, lm))
-        pairs = jnp.concatenate([left, cands[:, :, 1:]], axis=-1).reshape(bm * k, lm + le - 1)
-        pairs = jnp.pad(pairs, ((0, 0), (0, pair_len - (lm + le - 1))))
-        return ce.score(p, pairs, first_segment_end=lm).reshape(bm, k)
+    bm = max(1, min(batch_ments, n_m))
+    n_pad = n_m + ((-n_m) % bm)
+    ments = np.zeros((n_pad, lm), ment_tokens.dtype)
+    ments[:n_m] = ment_tokens
+    cidx = np.zeros((n_pad, k), np.int32)
+    cidx[:n_m] = cand_idx
+    n_chunks = n_pad // bm
 
-    out = np.zeros((n_m, k), np.float32)
-    for i in range(0, n_m, batch_ments):
-        take = min(batch_ments, n_m - i)
-        ments = np.zeros((batch_ments, lm), ment_tokens.dtype)
-        ments[:take] = ment_tokens[i : i + take]
-        cidx = np.zeros((batch_ments, k), np.int64)
-        cidx[:take] = cand_idx[i : i + take]
-        cands = ent_tokens[cidx]  # (bm, k, Le)
-        scores = np.asarray(step(ce_params, jnp.asarray(ments), jnp.asarray(cands)))
-        out[i : i + take] = scores[:take]
-    return out
+    @functools.partial(jax.jit, static_argnames=())
+    def run(p, ments_d, cidx_d, ents_d):
+        def body(_, inp):
+            m_blk, c_blk = inp  # (bm, Lm), (bm, k)
+            cands = jnp.take(ents_d, c_blk, axis=0)  # (bm, k, Le) device gather
+            left = jnp.broadcast_to(m_blk[:, None, :], (bm, k, lm))
+            pairs = jnp.concatenate([left, cands[:, :, 1:]], axis=-1).reshape(
+                bm * k, lm + le - 1
+            )
+            pairs = jnp.pad(pairs, ((0, 0), (0, pair_len - (lm + le - 1))))
+            return None, ce.score(p, pairs, first_segment_end=lm).reshape(bm, k)
+
+        _, scores = jax.lax.scan(
+            body,
+            None,
+            (ments_d.reshape(n_chunks, bm, lm), cidx_d.reshape(n_chunks, bm, k)),
+        )
+        return scores.reshape(n_pad, k)
+
+    out = np.asarray(
+        run(ce_params, jnp.asarray(ments), jnp.asarray(cidx), jnp.asarray(ent_tokens))
+    )
+    return out[:n_m]
 
 
 def run_retrieve_rerank_eval(
