@@ -82,7 +82,7 @@ class NativeWordPieceTokenizer(WordPieceTokenizer):
         return self._handle is not None
 
     def encode(self, text: str) -> List[int]:
-        if self._handle is not None:
+        if self._handle is not None and not any(s in text for s in self.never_split):
             n = self._lib.wp_tokenize(
                 self._handle, text.encode("utf-8", "ignore"), self._buf, self.MAX_IDS
             )

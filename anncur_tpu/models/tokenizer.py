@@ -115,6 +115,8 @@ class BasicTokenizer:
 class WordPieceTokenizer:
     """BERT tokenizer: basic tokenization + greedy WordPiece."""
 
+    SPECIAL_TOKENS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+
     def __init__(
         self,
         vocab: Dict[str, int],
@@ -127,7 +129,10 @@ class WordPieceTokenizer:
         self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
         self.unk_token = unk_token
         self.max_chars_per_word = max_chars_per_word
-        self.basic = BasicTokenizer(do_lower_case, never_split)
+        # special tokens are never split, even embedded mid-text
+        # (HF added-token trie semantics; found by fuzzing vs HF)
+        self.never_split = tuple(never_split) if never_split else self.SPECIAL_TOKENS
+        self.basic = BasicTokenizer(do_lower_case, self.never_split)
         self.cls_token = "[CLS]"
         self.sep_token = "[SEP]"
         self.pad_token = "[PAD]"
@@ -174,10 +179,35 @@ class WordPieceTokenizer:
             start = end
         return out
 
+    def _split_on_specials(self, text: str) -> List[str]:
+        """Split text on literal special-token occurrences (even without
+        surrounding whitespace), keeping the specials as segments."""
+        segments = [text]
+        for special in self.never_split:
+            if special not in text:
+                continue
+            new_segments: List[str] = []
+            for seg in segments:
+                if seg in self.never_split:
+                    new_segments.append(seg)
+                    continue
+                parts = seg.split(special)
+                for i, part in enumerate(parts):
+                    if i:
+                        new_segments.append(special)
+                    if part:
+                        new_segments.append(part)
+            segments = new_segments
+        return segments
+
     def tokenize(self, text: str) -> List[str]:
         out: List[str] = []
-        for tok in self.basic.tokenize(text):
-            out.extend(self.wordpiece(tok))
+        for segment in self._split_on_specials(text):
+            if segment in self.never_split:
+                out.append(segment)
+                continue
+            for tok in self.basic.tokenize(segment):
+                out.extend(self.wordpiece(tok))
         return out
 
     def convert_tokens_to_ids(self, tokens: List[str]) -> List[int]:
