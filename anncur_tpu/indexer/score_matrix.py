@@ -213,12 +213,18 @@ class ScoreMatrixBuilder:
         """(n_m, n_e, h) mention and entity contextual embeddings from the
         joint forward (reference mode=embeds,
         run_cross_encoder_for_ment_ent_matrix_zeshel.py:126-163). Use for
-        small n_m only — output is O(n_m * n_e * h)."""
+        small n_m only — output is O(n_m * n_e * h). Entities are chunked
+        (ent_block pairs per forward) so large corpora cannot OOM."""
         n_m, lm = ment_tokens.shape
         n_e, le = ent_tokens.shape
         pair_len = lm + le - 1
         pair_len += (-pair_len) % self.pair_pad_multiple
         enc = self.encoder
+        be = max(self.ent_block, 1)
+        n_e_pad = n_e + ((-n_e) % be)
+        ents_padded = np.zeros((n_e_pad, le), ent_tokens.dtype)
+        ents_padded[:n_e] = ent_tokens
+        ents_dev = jnp.asarray(ents_padded)
 
         @jax.jit
         def step(p, ment_row, ents):
@@ -228,9 +234,13 @@ class ScoreMatrixBuilder:
         m_out = []
         e_out = []
         for i in range(n_m):
-            m_emb, e_emb = step(params, jnp.asarray(ment_tokens[i]), jnp.asarray(ent_tokens))
-            m_out.append(np.asarray(m_emb))
-            e_out.append(np.asarray(e_emb))
+            m_chunks, e_chunks = [], []
+            for c in range(0, n_e_pad, be):
+                m_emb, e_emb = step(params, jnp.asarray(ment_tokens[i]), ents_dev[c : c + be])
+                m_chunks.append(np.asarray(m_emb))
+                e_chunks.append(np.asarray(e_emb))
+            m_out.append(np.concatenate(m_chunks)[:n_e])
+            e_out.append(np.concatenate(e_chunks)[:n_e])
         return np.stack(m_out), np.stack(e_out)
 
 
