@@ -70,6 +70,12 @@ class ScoreMatrixBuilder:
     ment_block: int = 8
     ent_block: int = 64
     pair_pad_multiple: int = 128
+    # Upper bound on CE pairs evaluated by ONE device program (per
+    # device). Large corpora are processed in entity slabs of this many
+    # pairs: unbounded single programs (minutes of device time) can trip
+    # RPC deadlines on remote-TPU links and give no progress/preemption
+    # granularity. ~32k pairs ~= 25 s at bert-base on v5e.
+    max_pairs_per_program: int = 32768
 
     def _make_step(self, params, lm: int, le: int, n_e_shard: int):
         pair_len = lm + le - 1
@@ -121,16 +127,28 @@ class ScoreMatrixBuilder:
         n_e, le = ent_tokens.shape
         n_dev = self.mesh.shape[self.axis]
 
+        # entity slab: bounded per-program work (see max_pairs_per_program),
+        # capped at the (shard-padded) corpus so small corpora do not
+        # inflate to a full slab
         shard_mult = n_dev * self.ent_block
-        n_e_pad = n_e + ((-n_e) % shard_mult)
+        n_e_base = n_e + ((-n_e) % shard_mult)
+        chunks_per_prog = max(
+            1, self.max_pairs_per_program // (self.ment_block * self.ent_block)
+        )
+        slab = min(chunks_per_prog * self.ent_block * n_dev, n_e_base)
+        n_e_pad = n_e_base + ((-n_e_base) % slab)
+        slab_per_dev = slab // n_dev
+
         ent_padded = np.zeros((n_e_pad, le), ent_tokens.dtype)
         ent_padded[:n_e] = ent_tokens
-        n_e_shard = n_e_pad // n_dev
+        n_slabs = n_e_pad // slab
 
-        step = self._make_step(params, lm, le, n_e_shard)
-        ent_sharded = jax.device_put(
-            jnp.asarray(ent_padded), NamedSharding(self.mesh, P(self.axis))
-        )
+        step = self._make_step(params, lm, le, slab_per_dev)
+        slab_sharding = NamedSharding(self.mesh, P(self.axis))
+        ent_slabs = [
+            jax.device_put(jnp.asarray(ent_padded[s * slab : (s + 1) * slab]), slab_sharding)
+            for s in range(n_slabs)
+        ]
         params = jax.device_put(params, NamedSharding(self.mesh, P()))
 
         out = np.zeros((n_m, n_e), np.float32)
@@ -150,16 +168,22 @@ class ScoreMatrixBuilder:
                 )
 
         def drain(pending_item):
-            """Blocking pull of one dispatched step (jax arrays are
-            futures: keeping one step in flight overlaps device compute
-            + link transfer with the next dispatch)."""
-            j, take_j, fut = pending_item
-            scores_j = np.asarray(fut)
-            out[j : j + take_j] = scores_j[:take_j, :n_e]
-            chunk_buf.append(scores_j[:take_j, :n_e])
-            if progress_cb is not None:
-                progress_cb((j + take_j) / n_m)
-            return j + take_j
+            """Blocking pull of one dispatched (mention block x entity
+            slab) step (jax arrays are futures: keeping one step in
+            flight overlaps device compute + link transfer with the next
+            dispatch). Returns rows-completed-through when the block's
+            last slab lands, else None."""
+            j, take_j, s, fut = pending_item
+            scores_j = np.asarray(fut)  # (bm, slab)
+            c0 = s * slab
+            c1 = min(c0 + slab, n_e)
+            out[j : j + take_j, c0:c1] = scores_j[:take_j, : c1 - c0]
+            if s == n_slabs - 1:
+                chunk_buf.append(out[j : j + take_j])
+                if progress_cb is not None:
+                    progress_cb((j + take_j) / n_m)
+                return j + take_j
+            return None
 
         pending = None
         i = 0
@@ -170,8 +194,9 @@ class ScoreMatrixBuilder:
                     if pending is not None:
                         done_to = drain(pending)
                         pending = None
-                        flush_chunk(chunk_start, chunk_buf)
-                        chunk_start, chunk_buf = done_to, []
+                        if done_to is not None:
+                            flush_chunk(chunk_start, chunk_buf)
+                            chunk_start, chunk_buf = done_to, []
                     data = np.load(cpath)
                     rows = data["scores"]
                     out[i : i + rows.shape[0]] = rows[:, :n_e]
@@ -181,13 +206,19 @@ class ScoreMatrixBuilder:
             block = np.zeros((bm, lm), ment_tokens.dtype)
             take = min(bm, n_m - i)
             block[:take] = ment_tokens[i : i + take]
-            fut = step(params, jnp.asarray(block), ent_sharded)  # async dispatch
-            if pending is not None:
-                done_to = drain(pending)
-                if chunk_dir is not None and done_to - chunk_start >= chunk_rows:
-                    flush_chunk(chunk_start, chunk_buf)
-                    chunk_start, chunk_buf = done_to, []
-            pending = (i, take, fut)
+            block_dev = jnp.asarray(block)
+            for s in range(n_slabs):
+                fut = step(params, block_dev, ent_slabs[s])  # async dispatch
+                if pending is not None:
+                    done_to = drain(pending)
+                    if (
+                        done_to is not None
+                        and chunk_dir is not None
+                        and done_to - chunk_start >= chunk_rows
+                    ):
+                        flush_chunk(chunk_start, chunk_buf)
+                        chunk_start, chunk_buf = done_to, []
+                pending = (i, take, s, fut)
             i += take
         if pending is not None:
             drain(pending)
