@@ -48,7 +48,9 @@ def main():
 
     lm = le = 128  # ZeShEL max mention/entity lengths -> 256-token pairs
     rng = np.random.default_rng(0)
-    n_ments, n_ents = 16, 2048
+    # 32x2048 = 64k pairs per pass: long enough to amortize dispatch
+    # (full-scale runs sustain ~1850 pairs/s; tiny passes under-measure)
+    n_ments, n_ents = 32, 2048
     ment_toks = rng.integers(1, spec.vocab_size, size=(n_ments, lm)).astype(np.int32)
     ent_toks = rng.integers(1, spec.vocab_size, size=(n_ents, le)).astype(np.int32)
 
