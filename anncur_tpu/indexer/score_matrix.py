@@ -39,6 +39,71 @@ from anncur_tpu.models.crossencoder import CrossEncoder
 LOGGER = logging.getLogger(__name__)
 
 
+class ChunkDirLock:
+    """Single-writer guard for a chunk directory.
+
+    The reference's only write-race protection is an interactive
+    'Overwrite? 0 or 1' prompt (combine_chunked_computations.py:109-112).
+    Here: O_EXCL lockfile with the owner pid; a lock whose pid is dead is
+    stale and stolen; a live second writer fails loudly instead of
+    interleaving chunk files.
+    """
+
+    def __init__(self, chunk_dir: str):
+        import os
+
+        self.path = os.path.join(chunk_dir, ".lock")
+        os.makedirs(chunk_dir, exist_ok=True)
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    owner = int(open(self.path).read().strip() or "0")
+                except (OSError, ValueError):
+                    owner = 0
+                if owner and _pid_alive(owner):
+                    raise RuntimeError(
+                        f"chunk dir {chunk_dir} is being written by live pid {owner}"
+                    )
+                LOGGER.warning("stealing stale chunk-dir lock from pid %s", owner)
+                try:
+                    import os as _os
+
+                    _os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+
+    def release(self) -> None:
+        import os
+
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+
+
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
 def build_pairs(ment_block: jax.Array, ent_block: jax.Array, pair_len: int) -> jax.Array:
     """Device-side pair tokens: (Bm, Lm) x (Be, Le) -> (Bm*Be, pair_len).
 
@@ -157,6 +222,7 @@ class ScoreMatrixBuilder:
 
         chunk_start = 0
         chunk_buf = []
+        lock = ChunkDirLock(chunk_dir) if chunk_dir is not None else None
 
         def flush_chunk(start, rows):
             if chunk_dir is not None and rows:
@@ -224,6 +290,8 @@ class ScoreMatrixBuilder:
             drain(pending)
         if chunk_dir is not None and chunk_buf:
             flush_chunk(chunk_start, chunk_buf)
+        if lock is not None:
+            lock.release()
         LOGGER.info(
             "score matrix %dx%d built in %.1fs (%.0f pairs/s)",
             n_m,

@@ -58,8 +58,10 @@ def main():
     # sweep: 8x256 -> 1282, 8x384 -> 1296, 8x512 -> 1046, 32x128 -> 829)
     ment_block = int(os.environ.get("BENCH_MENT_BLOCK", "16"))
     ent_block = int(os.environ.get("BENCH_ENT_BLOCK", "128"))
+    max_pairs = int(os.environ.get("BENCH_MAX_PAIRS", "32768"))
     builder = ScoreMatrixBuilder(
-        ce, mesh, ment_block=ment_block, ent_block=ent_block
+        ce, mesh, ment_block=ment_block, ent_block=ent_block,
+        max_pairs_per_program=max_pairs,
     )
 
     # warmup/compile

@@ -111,3 +111,21 @@ def test_paired_embeds_mode(mesh8, world, ce_and_params):
     full_builder = ScoreMatrixBuilder(ce, mesh8, ment_block=3, ent_block=8, pair_pad_multiple=32)
     scores = full_builder(params, ment_toks[:3], ent_toks[:5])
     np.testing.assert_allclose(np.sum(m_emb * e_emb, -1), scores, atol=2e-3, rtol=1e-3)
+
+
+def test_chunk_dir_lock(tmp_path):
+    import os
+
+    from anncur_tpu.indexer.score_matrix import ChunkDirLock
+
+    d = str(tmp_path / "chunks")
+    lock = ChunkDirLock(d)
+    # a second live writer fails loudly
+    with pytest.raises(RuntimeError, match="live pid"):
+        ChunkDirLock(d)
+    lock.release()
+    # stale lock (dead pid) is stolen
+    with open(os.path.join(d, ".lock"), "w") as fout:
+        fout.write("999999999")
+    lock2 = ChunkDirLock(d)
+    lock2.release()
