@@ -59,6 +59,19 @@ def main(argv=None):
                 os.path.join(args.out_dir, f"recall_vs_cost_k{top_k}.pdf"),
                 top_k=top_k,
             )
+            # equal-cost comparison (reference compile equal-cost mode,
+            # compile_...py:247-258): best recall per method within each
+            # CE-call budget
+            from anncur_tpu.evalx.aggregate import best_recall_at_cost
+
+            eq_rows = []
+            for budget in (64, 100, 200, 500, 1000):
+                row = {"cost_budget": budget}
+                for method, rows in method_rows.items():
+                    best = best_recall_at_cost(rows, budget)
+                    row[method] = round(best["recall"], 4) if best else ""
+                eq_rows.append(row)
+            write_csv(eq_rows, os.path.join(args.out_dir, f"equal_cost_k{top_k}.csv"))
     LOGGER.info("compiled results -> %s", args.out_dir)
 
 
