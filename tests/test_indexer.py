@@ -129,3 +129,28 @@ def test_chunk_dir_lock(tmp_path):
         fout.write("999999999")
     lock2 = ChunkDirLock(d)
     lock2.release()
+
+
+def test_load_reference_style_pickle_with_torch_tensors(tmp_path):
+    """The reference pickles torch tensors (run_cross_encoder_for_ment_
+    ent_matrix_zeshel.py:230-240); load_score_matrix must read them."""
+    torch = pytest.importorskip("torch")
+    import pickle
+
+    path = str(tmp_path / "ref.pkl")
+    with open(path, "wb") as fout:
+        pickle.dump(
+            {
+                "ment_to_ent_scores": torch.arange(12, dtype=torch.float32).reshape(3, 4),
+                "test_data": [{"mention": "x"}],
+                "mention_tokens_list": torch.ones(3, 8, dtype=torch.long),
+                "entity_id_list": torch.arange(4),
+                "entity_tokens_list": None,
+                "arg_dict": {},
+            },
+            fout,
+        )
+    data = load_score_matrix(path)
+    assert data["ment_to_ent_scores"].shape == (3, 4)
+    np.testing.assert_allclose(np.asarray(data["ment_to_ent_scores"]).ravel(), np.arange(12))
+    assert np.asarray(data["mention_tokens_list"]).shape == (3, 8)
