@@ -198,7 +198,8 @@ def run_transductive_eval(
             if bienc_scores is None:
                 LOGGER.warning("method 'bienc' skipped: no bienc_scores provided")
                 continue
-            precomp = {v: bienc_scores for v in n_ent_anchors_vals}
+            bienc_dev = jnp.asarray(np.asarray(bienc_scores, np.float32))  # one upload
+            precomp = {v: bienc_dev for v in n_ent_anchors_vals}
         elif method in ("cur", "cur_oracle"):
             precomp = {v: None for v in n_ent_anchors_vals}
         elif method == "fixed_anc_ent":
