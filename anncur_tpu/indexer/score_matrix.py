@@ -251,47 +251,51 @@ class ScoreMatrixBuilder:
                 return j + take_j
             return None
 
-        pending = None
-        i = 0
-        while i < n_m:
-            if chunk_dir is not None:
-                cpath = os.path.join(chunk_dir, f"chunk_{i}.npz")
-                if os.path.exists(cpath) and i % chunk_rows == 0:
+        try:
+            pending = None
+            i = 0
+            while i < n_m:
+                if chunk_dir is not None:
+                    cpath = os.path.join(chunk_dir, f"chunk_{i}.npz")
+                    if os.path.exists(cpath) and i % chunk_rows == 0:
+                        if pending is not None:
+                            done_to = drain(pending)
+                            pending = None
+                            if done_to is not None:
+                                flush_chunk(chunk_start, chunk_buf)
+                                chunk_start, chunk_buf = done_to, []
+                        data = np.load(cpath)
+                        rows = data["scores"]
+                        out[i : i + rows.shape[0]] = rows[:, :n_e]
+                        i += rows.shape[0]
+                        chunk_start = i
+                        continue
+                block = np.zeros((bm, lm), ment_tokens.dtype)
+                take = min(bm, n_m - i)
+                block[:take] = ment_tokens[i : i + take]
+                block_dev = jnp.asarray(block)
+                for s in range(n_slabs):
+                    fut = step(params, block_dev, ent_slabs[s])  # async dispatch
                     if pending is not None:
                         done_to = drain(pending)
-                        pending = None
-                        if done_to is not None:
+                        if (
+                            done_to is not None
+                            and chunk_dir is not None
+                            and done_to - chunk_start >= chunk_rows
+                        ):
                             flush_chunk(chunk_start, chunk_buf)
                             chunk_start, chunk_buf = done_to, []
-                    data = np.load(cpath)
-                    rows = data["scores"]
-                    out[i : i + rows.shape[0]] = rows[:, :n_e]
-                    i += rows.shape[0]
-                    chunk_start = i
-                    continue
-            block = np.zeros((bm, lm), ment_tokens.dtype)
-            take = min(bm, n_m - i)
-            block[:take] = ment_tokens[i : i + take]
-            block_dev = jnp.asarray(block)
-            for s in range(n_slabs):
-                fut = step(params, block_dev, ent_slabs[s])  # async dispatch
-                if pending is not None:
-                    done_to = drain(pending)
-                    if (
-                        done_to is not None
-                        and chunk_dir is not None
-                        and done_to - chunk_start >= chunk_rows
-                    ):
-                        flush_chunk(chunk_start, chunk_buf)
-                        chunk_start, chunk_buf = done_to, []
-                pending = (i, take, s, fut)
-            i += take
-        if pending is not None:
-            drain(pending)
-        if chunk_dir is not None and chunk_buf:
-            flush_chunk(chunk_start, chunk_buf)
-        if lock is not None:
-            lock.release()
+                    pending = (i, take, s, fut)
+                i += take
+            if pending is not None:
+                drain(pending)
+            if chunk_dir is not None and chunk_buf:
+                flush_chunk(chunk_start, chunk_buf)
+        finally:
+            # the lock must release even on crash/preemption, or a
+            # same-process resume would refuse the chunk dir
+            if lock is not None:
+                lock.release()
         LOGGER.info(
             "score matrix %dx%d built in %.1fs (%.0f pairs/s)",
             n_m,

@@ -154,3 +154,36 @@ def test_load_reference_style_pickle_with_torch_tensors(tmp_path):
     assert data["ment_to_ent_scores"].shape == (3, 4)
     np.testing.assert_allclose(np.asarray(data["ment_to_ent_scores"]).ravel(), np.arange(12))
     assert np.asarray(data["mention_tokens_list"]).shape == (3, 8)
+
+
+def test_preemption_mid_build_resume(mesh8, world, ce_and_params, tmp_path):
+    """Fault injection: crash mid-build (simulated preemption), verify
+    the lock releases, chunks survive, and a resume completes with
+    identical results (the reference has no such test - SURVEY §5.3)."""
+    import os
+
+    ment_toks, ent_toks, _, _ = world
+    ce, params = ce_and_params
+    builder = ScoreMatrixBuilder(ce, mesh8, ment_block=4, ent_block=8, pair_pad_multiple=32)
+    d = str(tmp_path / "chunks")
+
+    class Boom(Exception):
+        pass
+
+    calls = []
+
+    def crash_after_first_chunk(frac):
+        calls.append(frac)
+        if len(calls) == 2:
+            raise Boom()
+
+    with pytest.raises(Boom):
+        builder(params, ment_toks, ent_toks, chunk_dir=d, chunk_rows=4,
+                progress_cb=crash_after_first_chunk)
+    assert not os.path.exists(os.path.join(d, ".lock")), "lock leaked after crash"
+    assert any(f.startswith("chunk_") for f in os.listdir(d)), "no chunk survived"
+
+    # resume completes and equals a fresh full build
+    resumed = builder(params, ment_toks, ent_toks, chunk_dir=d, chunk_rows=4)
+    fresh = builder(params, ment_toks, ent_toks)
+    np.testing.assert_allclose(resumed, fresh, atol=1e-6)
