@@ -107,3 +107,41 @@ def test_crossencoder_jit_grad(rng):
 
     g = jax.grad(loss)(params)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g))
+
+
+@pytest.mark.parametrize("pooling", ["cls_w_lin", "cls", "mean", "max", "lse"])
+def test_all_pooling_modes(rng, pooling):
+    enc = BiEncoder(spec=SPEC, pooling_type=pooling, embed_dim=SPEC.hidden_size,
+                    compute_dtype=jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0))
+    q = enc.encode_input(params, toks(rng, 2, 16))
+    assert q.shape == (2, SPEC.hidden_size)
+    assert np.all(np.isfinite(np.asarray(q)))
+
+
+@pytest.mark.parametrize("bi_enc_type", ["separate", "shared"])
+def test_spl_tkns_towers(rng, bi_enc_type):
+    """Special-token pooled bi-encoder towers (reference:
+    models/biencoder.py:165-173, 190-199)."""
+    enc = BiEncoder(spec=SPEC, pooling_type="spl_tkns", bi_enc_type=bi_enc_type,
+                    embed_dim=SPEC.hidden_size, compute_dtype=jnp.float32)
+    params = enc.init(jax.random.PRNGKey(1))
+    t = np.array(toks(rng, 3, 16))
+    t[:, 2], t[:, 5] = 1, 2   # [unused0], [unused1] for mention pooling
+    t[:, 3] = 3               # [unused2] for entity pooling
+    q = enc.encode_input(params, jnp.asarray(t))
+    l = enc.encode_label(params, jnp.asarray(t))
+    assert q.shape == (3, SPEC.hidden_size) and l.shape == (3, SPEC.hidden_size)
+    # input pooling uses [unused0/1]; label pooling uses [unused2]:
+    # embeddings must differ
+    assert not np.allclose(np.asarray(q), np.asarray(l))
+
+
+def test_max_pooling_returns_values_not_tuple(rng):
+    """The reference's 'max' pooling is buggy (torch.max returns a
+    namedtuple, models/biencoder.py:117); ours returns the values."""
+    from anncur_tpu.models.pooling import pool_sequence
+
+    seq = jnp.asarray(rng.standard_normal((2, 4, 8)), jnp.float32)
+    pooled = pool_sequence(seq, seq[:, 0], "max")
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(seq).max(axis=1), rtol=1e-6)
