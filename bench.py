@@ -54,10 +54,11 @@ def main():
     ment_toks = rng.integers(1, spec.vocab_size, size=(n_ments, lm)).astype(np.int32)
     ent_toks = rng.integers(1, spec.vocab_size, size=(n_ents, le)).astype(np.int32)
 
-    # best measured shape on v5e: 16x128 = 2048-pair batches (1349 pairs/s;
-    # sweep: 8x256 -> 1282, 8x384 -> 1296, 8x512 -> 1046, 32x128 -> 829)
-    ment_block = int(os.environ.get("BENCH_MENT_BLOCK", "16"))
-    ent_block = int(os.environ.get("BENCH_ENT_BLOCK", "128"))
+    # best measured shape on v5e with slabbed builder: 32x64 = 2048-pair
+    # batches -> 1740 pairs/s (16x128 -> 1705, 24x128 -> 1052, 16x96 ->
+    # 770: keep ent_block a multiple of 64 for clean tiling)
+    ment_block = int(os.environ.get("BENCH_MENT_BLOCK", "32"))
+    ent_block = int(os.environ.get("BENCH_ENT_BLOCK", "64"))
     max_pairs = int(os.environ.get("BENCH_MAX_PAIRS", "32768"))
     builder = ScoreMatrixBuilder(
         ce, mesh, ment_block=ment_block, ent_block=ent_block,
