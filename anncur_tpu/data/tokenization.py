@@ -50,10 +50,14 @@ def get_context_representation(
         if right_add <= right_quota:
             left_quota += right_quota - right_add
 
+    # BLINK-semantics quirk kept bug-for-bug (reference
+    # utils/data_process.py:991): `context_left[-left_quota:]` with
+    # left_quota == 0 is `[-0:]`, i.e. the WHOLE left context (the final
+    # [:max_seq_length] truncation then clips it); a negative quota drops
+    # tokens from the front instead. Token ids must match reference
+    # checkpoints on >126-token mentions, so we do not "fix" this.
     context_tokens = (
-        (context_left[-left_quota:] if left_quota > 0 else [])
-        + mention_tokens
-        + context_right[:right_quota]
+        context_left[-left_quota:] + mention_tokens + context_right[:right_quota]
     )
     context_tokens = ["[CLS]"] + context_tokens + ["[SEP]"]
     input_ids = tokenizer.convert_tokens_to_ids(context_tokens)[:max_seq_length]
@@ -128,12 +132,9 @@ def get_context_representation_ids(
         if len(right) <= right_quota:
             left_quota += right_quota - len(right)
 
+    # Same [-0:] whole-left-context quirk as get_context_representation.
     ids = (
-        [cls_id]
-        + (left[-left_quota:] if left_quota > 0 else [])
-        + mention_ids
-        + right[:right_quota]
-        + [sep_id]
+        [cls_id] + left[-left_quota:] + mention_ids + right[:right_quota] + [sep_id]
     )[:max_seq_length]
     return ids + [0] * (max_seq_length - len(ids))
 

@@ -124,3 +124,58 @@ def test_tfidf_entity_embeds(rng):
     assert emb.shape[0] == 8
     norms = np.linalg.norm(emb, axis=1)
     np.testing.assert_allclose(norms[norms > 0], 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Differential test vs the reference get_context_representation, executed
+# directly from /root/reference (loaded at test time; never vendored).
+# Covers the left_quota <= 0 slicing quirk: `context_left[-0:]` takes the
+# WHOLE left context, and negative quotas drop from the front.
+# ---------------------------------------------------------------------------
+
+_REF = "/root/reference/utils/data_process.py"
+
+
+def _load_reference_context_fn():
+    import re
+
+    src = open(_REF).read()
+    m = re.search(
+        r"^def get_context_representation\(.*?^(?=def |\Z)", src, re.S | re.M
+    )
+    ns = {"ENT_START_TAG": "[unused0]", "ENT_END_TAG": "[unused1]"}
+    exec(compile(m.group(0), _REF, "exec"), ns)
+    return ns["get_context_representation"]
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_REF), reason="no reference")
+@pytest.mark.parametrize(
+    "mention_words,left_words,right_words,max_len",
+    [
+        (200, 40, 40, 128),   # mention alone exceeds max_len: negative quotas
+        (126, 40, 40, 128),   # left_quota == 0 -> whole left context kept
+        (120, 40, 0, 128),    # quota ~0, empty right
+        (60, 100, 3, 128),    # left overflow, right underflow rebalance
+        (2, 3, 100, 128),     # right overflow rebalance
+        (0, 10, 10, 32),      # empty mention
+        (125, 0, 7, 128),     # empty left at zero quota
+    ],
+)
+def test_context_rep_matches_reference_exec(
+    tokenizer, mention_words, left_words, right_words, max_len
+):
+    ref_fn = _load_reference_context_fn()
+    words = [f"w{i}" for i in range(8)]
+    sample = {
+        "mention": " ".join(words[i % 8] for i in range(mention_words)),
+        "context_left": " ".join(words[(i + 3) % 8] for i in range(left_words)),
+        "context_right": " ".join(words[(i + 5) % 8] for i in range(right_words)),
+    }
+    ours = get_context_representation(sample, tokenizer, max_len)
+    theirs = ref_fn(sample, tokenizer, max_len)
+    assert ours["ids"] == theirs["ids"]
+    assert ours["tokens"] == theirs["tokens"]
+    # the id-level native fast path must agree too
+    from anncur_tpu.data.tokenization import get_context_representation_ids
+
+    assert get_context_representation_ids(sample, tokenizer, max_len) == theirs["ids"]
