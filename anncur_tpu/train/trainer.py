@@ -82,6 +82,14 @@ class Trainer:
         self.is_bienc = isinstance(model, BiEncoder)
         self._tx: Optional[optax.GradientTransformation] = None
         self._train_step = None
+        # jitted eval fns keyed by first_segment_end (None for bi-enc):
+        # _loss_fn closes over self._fse at trace time, so each distinct
+        # fse needs its own jit entry — and reusing them across
+        # evaluate() calls avoids a recompile per dev eval.
+        self._eval_fns: Dict[Optional[int], Callable] = {}
+        self._dev_negs_epoch: Optional[int] = None
+        self._dev_negs: Optional[np.ndarray] = None
+        self._warned_replicated: set = set()
         self._ckpt = TopKCheckpointManager(
             os.path.join(config.result_dir, "model"),
             k=config.num_top_k_ckpts,
@@ -218,7 +226,21 @@ class Trainer:
         if self.mesh is not None:
             n_dev = self.mesh.shape.get("data", 1)
             micro_b = jax.tree_util.tree_leaves(out)[0].shape[1] if out else 0
-            spec = P(None, "data") if micro_b % max(n_dev, 1) == 0 else P()
+            if micro_b % max(n_dev, 1) == 0:
+                spec = P(None, "data")
+            else:
+                spec = P()
+                if micro_b not in self._warned_replicated:
+                    self._warned_replicated.add(micro_b)
+                    LOGGER.warning(
+                        "micro-batch %d is not divisible by data-parallel size %d; "
+                        "replicating the batch on every device (a %dx throughput "
+                        "cliff). Pad train_batch_size/grad_acc_steps so the "
+                        "micro-batch is a multiple of the mesh 'data' axis.",
+                        micro_b,
+                        n_dev,
+                        n_dev,
+                    )
             out = jax.device_put(out, NamedSharding(self.mesh, spec))
         if "first_segment_end" in batch:
             # static python int: pair layout is constant per dataset
@@ -227,13 +249,18 @@ class Trainer:
 
     # ---------------- eval -------------------------------------------- #
 
+    def _get_eval_fn(self, fse: Optional[int]):
+        if fse not in self._eval_fns:
+            self._eval_fns[fse] = jax.jit(lambda p, b, r: self._loss_fn(p, b, r))
+        return self._eval_fns[fse]
+
     def evaluate(self, state: TrainState, batches: Iterator[Dict]) -> Dict[str, float]:
         losses, mrrs = [], []
-        eval_fn = jax.jit(lambda p, b, r: self._loss_fn(p, b, r))
         rng = jax.random.PRNGKey(0)
         for batch in batches:
             if "first_segment_end" in batch:
                 self._fse = int(batch["first_segment_end"])
+            eval_fn = self._get_eval_fn(getattr(self, "_fse", None) if not self.is_bienc else None)
             b = {
                 k: jnp.asarray(v)
                 for k, v in batch.items()
@@ -319,7 +346,13 @@ class Trainer:
 
     def _dev_eval_and_ckpt(self, state: TrainState, dev_data, batch_size: int, epoch: int) -> None:
         cfg = self.config
-        dev_negs = self._epoch_negatives(dev_data, state, epoch)
+        # Mine dev negatives once per epoch, not once per eval: with
+        # bienc_hard_negs at a step-level eval_interval this would
+        # otherwise re-embed the whole corpus on every dev eval.
+        if self._dev_negs_epoch != epoch:
+            self._dev_negs = self._epoch_negatives(dev_data, state, epoch)
+            self._dev_negs_epoch = epoch
+        dev_negs = self._dev_negs
         dev_metrics = self.evaluate(
             state, self._make_batches(dev_data, dev_negs, batch_size, epoch, shuffle=False)
         )

@@ -203,3 +203,74 @@ def test_mid_epoch_eval_interval(tmp_path, tiny_world, mesh8):
     ckpt_dir = os.path.join(cfg.result_dir, "model")
     # top-k checkpoints appear mid-epoch (multiple saves for 4 steps)
     assert any(f.startswith("loss=") for f in os.listdir(ckpt_dir))
+
+
+def test_evaluate_caches_jitted_fn(tmp_path, tiny_world, mesh8):
+    """Two evaluate() calls must trace the loss exactly once (VERDICT r1
+    weak #4: a fresh jax.jit per call recompiled every dev eval)."""
+    data, tok = tiny_world
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64)
+    enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=32, compute_dtype=jnp.float32)
+    cfg = _mk_config(tmp_path, model_type="bi_enc", loss_type="ce")
+    trainer = Trainer(cfg, enc, mesh=mesh8, total_steps=10)
+    state = trainer.init_state()
+    negs = mine_negatives(data, "random", cfg.num_negs, seed=0)
+
+    traces = {"n": 0}
+    orig = trainer._loss_fn
+
+    def counting(*a, **kw):
+        traces["n"] += 1
+        return orig(*a, **kw)
+
+    trainer._loss_fn = counting
+    from anncur_tpu.train.data import bienc_batches
+
+    for _ in range(3):
+        trainer.evaluate(
+            state, bienc_batches(data, negs, cfg.train_batch_size, shuffle=False)
+        )
+    assert traces["n"] == 1, f"loss traced {traces['n']} times across 3 evals"
+
+
+def test_shard_batch_warns_on_replicated_fallback(tmp_path, tiny_world, mesh8, caplog):
+    import logging as _logging
+
+    data, tok = tiny_world
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64)
+    enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=32, compute_dtype=jnp.float32)
+    cfg = _mk_config(tmp_path, model_type="bi_enc", train_batch_size=6, grad_acc_steps=1)
+    trainer = Trainer(cfg, enc, mesh=mesh8, total_steps=10)
+    trainer.init_state()
+    batch = {"input": np.zeros((6, 8), np.int32), "pos": np.zeros((6, 8), np.int32)}
+    with caplog.at_level(_logging.WARNING, logger="anncur_tpu.train.trainer"):
+        trainer._shard_batch(batch)
+    assert any("not divisible by data-parallel" in r.message for r in caplog.records)
+    # warned once per shape, not per step
+    caplog.clear()
+    with caplog.at_level(_logging.WARNING, logger="anncur_tpu.train.trainer"):
+        trainer._shard_batch(batch)
+    assert not caplog.records
+
+
+def test_dev_negs_mined_once_per_epoch(tmp_path, tiny_world, mesh8):
+    data, tok = tiny_world
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64)
+    enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=32, compute_dtype=jnp.float32)
+    cfg = _mk_config(tmp_path, model_type="bi_enc", loss_type="ce")
+    trainer = Trainer(cfg, enc, mesh=mesh8, total_steps=10)
+    state = trainer.init_state()
+
+    calls = {"n": 0}
+    orig = trainer._epoch_negatives
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    trainer._epoch_negatives = counting
+    trainer._dev_eval_and_ckpt(state, data, cfg.train_batch_size, epoch=0)
+    trainer._dev_eval_and_ckpt(state, data, cfg.train_batch_size, epoch=0)
+    assert calls["n"] == 1
+    trainer._dev_eval_and_ckpt(state, data, cfg.train_batch_size, epoch=1)
+    assert calls["n"] == 2
