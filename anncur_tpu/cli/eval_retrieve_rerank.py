@@ -39,6 +39,13 @@ def main(argv=None):
     p.add_argument("--max_ment_len", type=int, default=128)
     p.add_argument("--max_ent_len", type=int, default=128)
     p.add_argument("--n_ment", type=int, default=-1)
+    p.add_argument(
+        "--ment_start",
+        type=int,
+        default=0,
+        help="first mention of this job's chunk (reference --n_ment_start); "
+        "chunk topk-pred JSONs recombine via cli.combine_chunks --mode topk_preds",
+    )
     p.add_argument("--pooling_type", default="cls_w_lin")
     p.add_argument("--seed", type=int, default=0)
     # arch overrides for smoke runs
@@ -53,8 +60,9 @@ def main(argv=None):
     tokenizer = WordPieceTokenizer.from_vocab_file(args.vocab_file)
     kb2local, entities = load_entities(args.ent_file)
     mentions = load_mentions(args.ment_file, kb2local)
-    if args.n_ment > 0:
-        mentions = mentions[: args.n_ment]
+    if args.n_ment > 0 or args.ment_start > 0:
+        stop = args.ment_start + args.n_ment if args.n_ment > 0 else len(mentions)
+        mentions = mentions[args.ment_start : stop]
     ment_toks = tokenize_mentions(mentions, tokenizer, args.max_ment_len)
     if args.ent_tokens_file and os.path.exists(args.ent_tokens_file):
         ent_toks = np.load(args.ent_tokens_file).astype(np.int32)

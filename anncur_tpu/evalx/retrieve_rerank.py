@@ -113,11 +113,22 @@ def run_retrieve_rerank_eval(
     batch_size: int = 64,
     mesh: Optional[Mesh] = None,
     res_dir: Optional[str] = None,
+    ment_start: int = 0,
+    n_ment: int = -1,
 ) -> Dict:
     """Returns {'bienc': metrics, 'crossenc': metrics} — retrieval-only vs
     retrieval+rerank accuracy/MRR/recall vs gold labels
     (reference: run, run_cross_encoder_w_binenc_retriever_zeshel.py:80-221).
+
+    ``ment_start``/``n_ment`` slice the mention range for
+    embarrassingly-parallel job chunking (reference :102); per-chunk
+    topk-pred JSONs are recombined with
+    :func:`anncur_tpu.indexer.combine.combine_topk_preds`.
     """
+    if n_ment > 0 or ment_start > 0:
+        stop = ment_start + n_ment if n_ment > 0 else ment_tokens.shape[0]
+        ment_tokens = ment_tokens[ment_start:stop]
+        gt_labels = np.asarray(gt_labels)[ment_start:stop]
     LOGGER.info("embedding %d entities", ent_tokens.shape[0])
     label_embeds = embed_tokenized(bienc, bienc_params, ent_tokens, batch_size, "label")
     ment_embeds = embed_tokenized(bienc, bienc_params, ment_tokens, batch_size, "input")
@@ -146,6 +157,20 @@ def run_retrieve_rerank_eval(
         os.makedirs(res_dir, exist_ok=True)
         with open(os.path.join(res_dir, "res.json"), "w") as fout:
             json.dump(res, fout, indent=4)
+        # per-mention top-k predictions, reference file schema
+        # ({"indices": [[...]], "scores": [[...]]}; reference :186-188) so
+        # chunked runs can be recombined by combine_topk_preds.
+        with open(os.path.join(res_dir, "gt_labels.txt"), "w") as fout:
+            json.dump(np.asarray(gt_labels).tolist(), fout)
+        with open(os.path.join(res_dir, "bienc_topk_preds.txt"), "w") as fout:
+            json.dump({"indices": bi_idx.tolist(), "scores": bi_scores.tolist()}, fout)
+        with open(
+            os.path.join(res_dir, "crossenc_topk_preds_w_bienc_retrvr.txt"), "w"
+        ) as fout:
+            json.dump(
+                {"indices": bi_idx.tolist(), "scores": np.asarray(ce_scores).tolist()},
+                fout,
+            )
     return res
 
 

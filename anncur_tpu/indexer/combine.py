@@ -11,6 +11,7 @@ ScoreMatrixBuilder (or full reference-style pickles via
 from __future__ import annotations
 
 import glob
+import json
 import logging
 import os
 import pickle
@@ -69,3 +70,55 @@ def combine_pickles(chunk_paths: List[str], out_path: str, overwrite: bool = Fal
         arg_dict={"combined_from": chunk_paths},
     )
     LOGGER.info("combined %d chunks -> %s (%s)", len(datas), out_path, scores.shape)
+
+
+def combine_topk_preds(
+    chunk_files: List[str],
+    out_path: str,
+    expected_rows: Optional[int] = None,
+    overwrite: bool = False,
+) -> dict:
+    """Merge chunked retrieve-and-rerank top-k prediction JSONs.
+
+    Parity with the reference's second combiner mode,
+    ``combine_bi_plus_cross_eval_results``
+    (eval/combine_chunked_computations.py:20-122): each chunk file is a
+    JSON ``{"indices": [[...]], "scores": [[...]]}`` over a mention
+    range; rows are concatenated in the given (mention) order. Unlike the
+    reference's interactive overwrite prompt, an existing output raises
+    unless ``overwrite=True``.
+    """
+    if os.path.exists(out_path) and not overwrite:
+        raise FileExistsError(f"{out_path} exists; pass overwrite=True")
+    combined = {"indices": [], "scores": []}
+    width = None
+    for f in chunk_files:
+        with open(f) as fin:
+            preds = json.load(fin)
+        if len(preds["indices"]) != len(preds["scores"]):
+            raise ValueError(
+                f"{f}: {len(preds['indices'])} index rows != "
+                f"{len(preds['scores'])} score rows"
+            )
+        w = len(preds["indices"][0]) if preds["indices"] else None
+        if width is None:
+            width = w
+        elif w is not None and w != width:
+            raise ValueError(f"{f}: top-k width {w} != {width} of earlier chunks")
+        combined["indices"] += preds["indices"]
+        combined["scores"] += preds["scores"]
+        LOGGER.info("%s: %d rows", f, len(preds["indices"]))
+    if expected_rows is not None and len(combined["indices"]) != expected_rows:
+        raise ValueError(
+            f"combined {len(combined['indices'])} rows != expected {expected_rows}"
+        )
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as fout:
+        json.dump(combined, fout)
+    LOGGER.info(
+        "combined %d chunks -> %s (%d rows)",
+        len(chunk_files),
+        out_path,
+        len(combined["indices"]),
+    )
+    return combined

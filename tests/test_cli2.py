@@ -171,3 +171,44 @@ def test_reference_config_files_load_unchanged():
         if cfg.trn_files:
             v = next(iter(cfg.trn_files.values()))
             assert isinstance(v, (list, dict))
+
+
+def test_chunked_topk_preds_combine_equals_monolithic(world_dir, tmp_path):
+    """Run retrieve+rerank as two mention-range chunks, combine the
+    topk-pred JSONs (reference combine_bi_plus_cross_eval_results,
+    combine_chunked_computations.py:20-122), and compare against a
+    monolithic run."""
+    from anncur_tpu.cli import combine_chunks, eval_retrieve_rerank
+
+    common = [
+        "--ment_file", world_dir["ment_file"], "--ent_file", world_dir["ent_file"],
+        "--vocab_file", world_dir["vocab"], "--top_k", "8", "--batch_size", "8",
+    ] + TINY
+
+    mono = str(tmp_path / "mono")
+    eval_retrieve_rerank.main(common + ["--res_dir", mono])
+
+    c0, c1 = str(tmp_path / "c0"), str(tmp_path / "c1")
+    eval_retrieve_rerank.main(common + ["--res_dir", c0, "--ment_start", "0", "--n_ment", "9"])
+    eval_retrieve_rerank.main(common + ["--res_dir", c1, "--ment_start", "9"])
+
+    for fname in ["crossenc_topk_preds_w_bienc_retrvr.txt", "bienc_topk_preds.txt"]:
+        out = str(tmp_path / ("combined_" + fname))
+        combine_chunks.main(
+            ["--mode", "topk_preds", "--out", out, "--expected_rows", "16",
+             "--chunks", os.path.join(c0, fname), os.path.join(c1, fname)]
+        )
+        with open(out) as fin:
+            combined = json.load(fin)
+        with open(os.path.join(mono, fname)) as fin:
+            monolithic = json.load(fin)
+        assert combined["indices"] == monolithic["indices"]
+        np.testing.assert_allclose(
+            np.asarray(combined["scores"]), np.asarray(monolithic["scores"]), atol=1e-4
+        )
+    # existing output refuses to be clobbered without --overwrite
+    with pytest.raises(FileExistsError):
+        combine_chunks.main(
+            ["--mode", "topk_preds", "--out", out,
+             "--chunks", os.path.join(c0, fname), os.path.join(c1, fname)]
+        )
