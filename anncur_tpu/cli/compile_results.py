@@ -17,10 +17,11 @@ import os
 
 from anncur_tpu.evalx.aggregate import (
     combine_result_files,
+    compile_rqs,
     recall_vs_cost_table,
     write_csv,
 )
-from anncur_tpu.evalx.plots import plot_recall_vs_cost
+from anncur_tpu.evalx.plots import plot_ce_baselines_from_pivot, plot_recall_vs_cost
 
 LOGGER = logging.getLogger("anncur_tpu.compile_results")
 
@@ -31,6 +32,17 @@ def main(argv=None):
     p.add_argument("--res_dir", required=True, help="dir containing method=*_s=* subdirs")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--top_k_vals", nargs="+", type=int, default=[1, 10, 50, 100])
+    p.add_argument(
+        "--nm_train",
+        type=int,
+        default=0,
+        help="anchor/train-mention count tag for the RQ pivot keys",
+    )
+    p.add_argument(
+        "--no_rq_pivots",
+        action="store_true",
+        help="skip the per-RQ pivot CSVs / RQ5-RQ6 plots",
+    )
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -72,6 +84,37 @@ def main(argv=None):
                     row[method] = round(best["recall"], 4) if best else ""
                 eq_rows.append(row)
             write_csv(eq_rows, os.path.join(args.out_dir, f"equal_cost_k{top_k}.csv"))
+
+    if not args.no_rq_pivots:
+        # generic per-RQ pivots (reference process_res_for_rq,
+        # compile_...py:219-277) + RQ5/RQ6 CE-only-baseline plots
+        per_method = {}
+        for d in method_dirs:
+            path = os.path.join(d, "res.json")
+            if not os.path.exists(path):
+                continue
+            method = os.path.basename(d).split("=", 1)[1].split("_s=")[0]
+            with open(path) as fin:
+                per_method[method] = json.load(fin)
+        if per_method:
+            csvs_by_rq = compile_rqs(per_method, args.nm_train, args.out_dir)
+            rq_x = {
+                "RQ2_Model_Performance_At_Equal_Test_Cost": ("cost", "RQ5"),
+                "RQ1_Model_Performance_At_Equal_Num_Retrieved": ("top_k_retvr", "RQ6"),
+            }
+            for rq_name, csvs in csvs_by_rq.items():
+                if rq_name not in rq_x:
+                    continue
+                x_prefix, tag = rq_x[rq_name]
+                for csv_path in csvs:
+                    base = os.path.splitext(os.path.basename(csv_path))[0]
+                    plot_ce_baselines_from_pivot(
+                        csv_path,
+                        os.path.join(
+                            args.out_dir, "plots", tag, f"{tag}_ce_baselines_{base}.pdf"
+                        ),
+                        x_prefix=x_prefix,
+                    )
     LOGGER.info("compiled results -> %s", args.out_dir)
 
 

@@ -15,6 +15,7 @@ import numpy as np
 from anncur_tpu.evalx.plots import (
     heat_map_from_transductive,
     plot_score_distribution,
+    rq7_heatmaps,
 )
 
 LOGGER = logging.getLogger("anncur_tpu.plot_results")
@@ -30,6 +31,12 @@ def main(argv=None):
     p.add_argument("--top_k", type=int, default=10)
     p.add_argument("--top_k_retvr", type=int, default=500)
     p.add_argument("--splits", nargs="+", default=["non_anchor", "all"])
+    p.add_argument(
+        "--rq7",
+        action="store_true",
+        help="emit the RQ7 multi-metric family (recall + relative "
+        "approx-error heat maps) instead of recall-only maps",
+    )
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -37,13 +44,23 @@ def main(argv=None):
     if args.transductive_json:
         with open(args.transductive_json) as fin:
             res = json.load(fin)
-        for method in args.methods:
-            for split in args.splits:
-                out = heat_map_from_transductive(
-                    res, method, args.top_k, args.top_k_retvr, args.out_dir, split=split
-                )
-                if out:
-                    made.append(out)
+        if args.rq7:
+            made += rq7_heatmaps(
+                res,
+                args.out_dir,
+                methods=args.methods,
+                top_k_vals=[args.top_k],
+                top_k_retvr_vals=[args.top_k_retvr],
+                splits=args.splits,
+            )
+        else:
+            for method in args.methods:
+                for split in args.splits:
+                    out = heat_map_from_transductive(
+                        res, method, args.top_k, args.top_k_retvr, args.out_dir, split=split
+                    )
+                    if out:
+                        made.append(out)
     if args.score_matrix:
         from anncur_tpu.indexer import load_score_matrix
 

@@ -67,6 +67,7 @@ def heat_map_from_transductive(
     out_dir: str,
     metric: str = "exact_vs_reranked_approx_retvr~common_frac_mean",
     split: str = "non_anchor",
+    name_tag: str = "",
 ) -> Optional[str]:
     """Build the (n_ment_anchors x n_ent_anchors) heat map from a
     transductive result tree (reference: plot, run_retrieval_eval_wrt_
@@ -86,8 +87,12 @@ def heat_map_from_transductive(
             entry = node.get(f"anc_n_m={r}~anc_n_e={c}")
             if entry and split in entry and metric in entry[split]:
                 mat[i, j] = 100 * entry[split][metric]
-    out = os.path.join(out_dir, f"heatmap_{method}_k={top_k}_retvr={top_k_retvr}_{split}.pdf")
-    return plot_heat_map(mat, rows, cols, out, title=f"{method}: recall@{top_k} ({split})")
+    tag = f"_{name_tag}" if name_tag else ""
+    out = os.path.join(
+        out_dir, f"heatmap_{method}_k={top_k}_retvr={top_k_retvr}_{split}{tag}.pdf"
+    )
+    label = name_tag or f"recall@{top_k}"
+    return plot_heat_map(mat, rows, cols, out, title=f"{method}: {label} ({split})")
 
 
 def plot_recall_vs_cost(
@@ -174,6 +179,127 @@ def plot_recall_vs_train_size(
     fig.savefig(out_path)
     plt.close(fig)
     return out_path
+
+
+def plot_ce_baselines_from_pivot(
+    csv_path: str,
+    out_path: str,
+    x_prefix: str = "cost",
+    model_tags: Sequence[str] = ("cur", "fixed_anc_ent", "fixed_anc_ent_cur"),
+    x_vals: Sequence[int] = (50, 100, 200, 500, 1000),
+    xlabel: Optional[str] = None,
+    title: Optional[str] = None,
+) -> Optional[str]:
+    """RQ5/RQ6-style grouped bar chart of the CE-only baseline family
+    (CUR vs fixedITEM vs itemCUR) read from an RQ1/RQ2 pivot CSV
+    (reference: plot_rq_5_6_performance_vs_topk_retrieved_or_cost_for_
+    CE_only_baselines, utils/plot_emnlp...py:244-440). ``x_prefix`` is
+    'cost' for the equal-test-cost family (RQ5, from RQ2 CSVs) and
+    'top_k_retvr' for equal-num-retrieved (RQ6, from RQ1 CSVs); rows
+    whose model matches a tag contribute their best value per x."""
+    import csv as _csv
+
+    with open(csv_path) as fin:
+        reader = _csv.DictReader(fin)
+        rows = list(reader)
+        row_key = reader.fieldnames[0]
+    y_vals: Dict[str, Dict[int, float]] = {}
+    for row in rows:
+        model = next(
+            (
+                p.split("=", 1)[1]
+                for p in row[row_key].split("~")
+                if p.startswith("model=")
+            ),
+            row[row_key],
+        )
+        if model.lower() not in tuple(t.lower() for t in model_tags):
+            continue
+        label = row[row_key] if "anc_n_e=None" not in row[row_key] else model
+        # keep anc_n_e subscript when present (RQ6 annCUR_100 vs _200)
+        anc = next(
+            (
+                p.split("=", 1)[1]
+                for p in row[row_key].split("~")
+                if p.startswith("anc_n_e=") and not p.endswith("=None")
+            ),
+            None,
+        )
+        label = f"{model}_{anc}" if anc else model
+        for x in x_vals:
+            cell = row.get(f"{x_prefix}={x}", "")
+            if cell in ("", None):
+                continue
+            v = float(cell)
+            cur = y_vals.setdefault(label, {})
+            cur[x] = max(cur.get(x, 0.0), v)
+    if not y_vals:
+        return None
+    fig, ax = plt.subplots(figsize=(8, 5))
+    labels = sorted(y_vals)
+    xs_all = [x for x in x_vals if any(x in y_vals[m] for m in labels)]
+    width = 0.8 / max(len(labels), 1)
+    for mi, m in enumerate(labels):
+        offs = [i + mi * width for i in range(len(xs_all))]
+        ax.bar(
+            offs,
+            [y_vals[m].get(x, 0.0) for x in xs_all],
+            width=width,
+            label=m,
+        )
+    ax.set_xticks([i + 0.4 - width / 2 for i in range(len(xs_all))])
+    ax.set_xticklabels([str(x) for x in xs_all])
+    ax.set_xlabel(
+        xlabel
+        or ("Inference Cost" if x_prefix == "cost" else "Number of Items Retrieved")
+    )
+    ax.set_ylabel("Top-k recall vs exact (%)")
+    ax.legend()
+    ax.grid(alpha=0.3, axis="y")
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def rq7_heatmaps(
+    eval_res: Dict,
+    out_dir: str,
+    methods: Sequence[str] = ("cur",),
+    top_k_vals: Sequence[int] = (10,),
+    top_k_retvr_vals: Sequence[int] = (500,),
+    splits: Sequence[str] = ("non_anchor",),
+) -> List[str]:
+    """RQ7 multi-metric heat-map family: anchor-grid maps of BOTH
+    recall (prec_at_k) and relative Frobenius approximation error per
+    method/top_k/top_k_retvr/split (reference: plot_rq7_heatmaps,
+    utils/plot_emnlp...py:704-775)."""
+    metrics = {
+        "exact_vs_reranked_approx_retvr~common_frac_mean": "prec_at_k",
+        "approx_error_relative": "approx_error",
+    }
+    made = []
+    for method in methods:
+        for top_k in top_k_vals:
+            for kr in top_k_retvr_vals:
+                for split in splits:
+                    for metric, tag in metrics.items():
+                        out = heat_map_from_transductive(
+                            eval_res,
+                            method,
+                            top_k,
+                            kr,
+                            out_dir,
+                            metric=metric,
+                            split=split,
+                            name_tag=tag,
+                        )
+                        if out:
+                            made.append(out)
+    return made
 
 
 def plot_score_distribution(
