@@ -48,9 +48,17 @@ def run_approx_eval_w_seed(
     top_k_retvr: int,
     seed: int,
     precomp_approx: Optional[np.ndarray] = None,
+    rcond: Optional[float] = None,
 ) -> Dict[str, Dict[str, float]]:
     """One (seed, grid-point) evaluation
-    (reference: run_approx_eval_w_seed, :47-158)."""
+    (reference: run_approx_eval_w_seed, :47-158).
+
+    ``rcond``: pinv singular-value cutoff override. Default (None) is
+    f32-machine-eps relative (see ops/pinv.py) — measurably better
+    conditioned than the reference's numpy-default cutoff on noisy
+    square anchor intersections; pass ``max(m, n) * np.finfo(np.float64)
+    .eps`` to reproduce the reference bit-for-bit (tools/parity_check.py
+    does)."""
     n_ments, n_ents = exact.shape
     rng = np.random.default_rng(seed=seed)
     anchor_ments = sample_anchors(rng, n_ments, n_ment_anchors)
@@ -70,6 +78,7 @@ def run_approx_eval_w_seed(
             anchor_ents,
             approx_preference="rows",
             oracle=approx_method == "cur_oracle",
+            rcond=rcond,
         )
         # stays a device array: only rankings/error rows come back to host
         approx = index.reconstruct()

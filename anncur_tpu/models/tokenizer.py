@@ -225,6 +225,54 @@ class WordPieceTokenizer:
         return len(self.vocab)
 
 
+def make_realistic_vocab(n_words: int = 24000, seed: int = 0) -> Dict[str, int]:
+    """A bert-base-uncased-SHAPED vocab (~30k entries) for tokenizer
+    parity fuzzing when the real 30,522-token vocab is unobtainable
+    (zero-egress environments; see PARITY.md).
+
+    Mirrors the real file's structural layout: [PAD]=0, [unused0..98]=1-99,
+    [UNK]=100, [CLS]=101, [SEP]=102, [MASK]=103, [unused99..992]=104-997,
+    then single characters (ascii, latin-1 accents, greek, cyrillic, CJK),
+    then whole words and ##-continuation pieces generated deterministically
+    from English-like syllables. Exercises every WordPiece code path the
+    real vocab does: multi-char greedy longest-match, continuation pieces,
+    punctuation/CJK isolation, accent stripping, [unused*] never-split.
+    """
+    import random
+
+    tokens = ["[PAD]"] + [f"[unused{i}]" for i in range(99)]
+    tokens += ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    tokens += [f"[unused{i}]" for i in range(99, 993)]
+    chars = list("!\"#$%&'()*+,-./0123456789:;<=>?@[\\]^_`abcdefghijklmnopqrstuvwxyz{|}~")
+    chars += list("¡¢£¤¥¦§¨©ª«¬®¯°±²³´µ¶·¸¹º»¼½¾¿")
+    chars += [chr(c) for c in range(0x00E0, 0x00FF)]  # accented latin
+    chars += [chr(c) for c in range(0x03B1, 0x03C9)]  # greek
+    chars += [chr(c) for c in range(0x0430, 0x0450)]  # cyrillic
+    chars += [chr(c) for c in range(0x4E00, 0x4E80)]  # CJK
+    tokens += chars
+    tokens += ["##" + c for c in chars]
+    rnd = random.Random(seed)
+    onsets = ["b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "n", "p", "r",
+              "s", "t", "v", "w", "z", "ch", "sh", "th", "st", "tr", "pl", ""]
+    nuclei = ["a", "e", "i", "o", "u", "ai", "ea", "ou", "io"]
+    codas = ["", "n", "r", "s", "t", "l", "m", "ng", "st", "ck"]
+    seen = set(tokens)
+    while len(tokens) < 4000 + n_words:
+        n_syll = rnd.randint(1, 3)
+        w = "".join(
+            rnd.choice(onsets) + rnd.choice(nuclei) + rnd.choice(codas)
+            for _ in range(n_syll)
+        )
+        if not w:
+            continue
+        if rnd.random() < 0.35:
+            w = "##" + w
+        if w not in seen:
+            seen.add(w)
+            tokens.append(w)
+    return {t: i for i, t in enumerate(tokens)}
+
+
 def make_test_vocab(extra_words: Iterable[str] = ()) -> Dict[str, int]:
     """Tiny deterministic vocab for tests: specials + ascii chars + '##'
     continuations + caller-specified whole words."""
