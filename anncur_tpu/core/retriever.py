@@ -60,6 +60,21 @@ class CurRetriever:
     def _stage_batch(self, k: int) -> int:
         return max(1, self.target_pairs_per_step // max(1, k))
 
+    # jitted fused query programs keyed by static shapes + device-resident
+    # constants (item tokens, anchor ids, latent factors): populated lazily
+    def __post_init__(self):
+        self._fused_cache: Dict[tuple, object] = {}
+        self._dev_consts = None
+
+    def _device_consts(self):
+        if self._dev_consts is None:
+            self._dev_consts = (
+                jnp.asarray(self.item_tokens, jnp.int32),
+                jnp.asarray(self.anchor_item_ids, jnp.int32),
+                jnp.asarray(self.index.latent_cols, jnp.float32),
+            )
+        return self._dev_consts
+
     # ---------------- offline build ----------------------------------- #
 
     @classmethod
@@ -149,6 +164,84 @@ class CurRetriever:
             pair_pad_multiple=self.pair_pad_multiple,
         )
 
+    def _get_fused_query_fn(self, q_pad: int, chunk: int, lm: int, top_k: int, top_k_retvr: int, rerank: bool):
+        """Build (or fetch) the single jit program for a query batch:
+        anchor-scoring scan -> latent projection -> top-k_retvr retrieval
+        [-> exact-rerank scan -> top-k]. ONE dispatch per batch — the
+        previous per-stage programs paid a host round trip each, which
+        dominated latency on remote-TPU links (measured ~0.3-0.5 s per
+        dispatch vs ~2 s of compute for a 32-query x 600-CE-call batch)."""
+        key = (q_pad, chunk, lm, top_k, top_k_retvr, rerank)
+        if key in self._fused_cache:
+            return self._fused_cache[key]
+
+        ce = self.encoder
+        k_i = len(self.anchor_item_ids)
+        le = self.item_tokens.shape[1]
+        raw_len = lm + le - 1
+        pad = min(self.pair_pad_multiple, ce.spec.max_position_embeddings)
+        pair_len = raw_len + ((-raw_len) % pad)
+        n_chunks = q_pad // chunk
+        # rerank stage handles only top_k_retvr (<= k_i) candidates per
+        # query, so it can take bigger query chunks: largest divisor of
+        # q_pad within the pair-budget (keeps its CE batches MXU-sized
+        # instead of inheriting the anchor stage's narrow chunking)
+        r_target = max(1, self._stage_batch(top_k_retvr))
+        r_chunk = max(d for d in range(1, min(r_target, q_pad) + 1) if q_pad % d == 0)
+        n_r_chunks = q_pad // r_chunk
+
+        def score_pairs(p, m_blk, cand_toks, c, width):
+            """(c, width, Le) candidate tokens -> (c, width) CE scores."""
+            left = jnp.broadcast_to(m_blk[:, None, :], (c, width, lm))
+            pairs = jnp.concatenate([left, cand_toks[:, :, 1:]], axis=-1).reshape(
+                c * width, raw_len
+            )
+            pairs = jnp.pad(pairs, ((0, 0), (0, pair_len - raw_len)))
+            return ce.score(p, pairs, first_segment_end=lm).reshape(c, width)
+
+        def fn(p, qtoks, items, anchor_ids, latent_cols):
+            anchor_toks = jnp.take(items, anchor_ids, axis=0)  # (k_i, Le)
+
+            def body_anchor(_, m_blk):
+                cand_toks = jnp.broadcast_to(
+                    anchor_toks[None, :, :], (chunk, k_i, le)
+                )
+                return None, score_pairs(p, m_blk, cand_toks, chunk, k_i)
+
+            q_chunks = qtoks.reshape(n_chunks, chunk, lm)
+            _, a = jax.lax.scan(body_anchor, None, q_chunks)
+            anchor_scores = a.reshape(q_pad, k_i)
+            # latent projection: f32 highest precision — bf16 default
+            # collapses CUR recall (CLAUDE.md, measured)
+            approx = jnp.dot(
+                anchor_scores, latent_cols,
+                preferred_element_type=jnp.float32, precision="highest",
+            )
+            if not rerank:
+                s, i = jax.lax.top_k(approx, top_k)
+                return s, i
+            _, cand = jax.lax.top_k(approx, top_k_retvr)  # (q_pad, kr)
+
+            def body_rerank(_, inp):
+                m_blk, c_blk = inp
+                cand_toks = jnp.take(items, c_blk, axis=0)  # (r_chunk, kr, Le)
+                return None, score_pairs(p, m_blk, cand_toks, r_chunk, top_k_retvr)
+
+            _, ex = jax.lax.scan(
+                body_rerank,
+                None,
+                (
+                    qtoks.reshape(n_r_chunks, r_chunk, lm),
+                    cand.reshape(n_r_chunks, r_chunk, top_k_retvr),
+                ),
+            )
+            exact = ex.reshape(q_pad, top_k_retvr)
+            s, order = jax.lax.top_k(exact, top_k)
+            return s, jnp.take_along_axis(cand, order, axis=1)
+
+        self._fused_cache[key] = jax.jit(fn)
+        return self._fused_cache[key]
+
     def query_tokens_batch(
         self,
         query_tokens: np.ndarray,  # (q, Lm)
@@ -156,19 +249,23 @@ class CurRetriever:
         top_k_retvr: int = 100,
         rerank: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """(scores (q, top_k), item indices (q, top_k))."""
-        anchor_scores = self._anchor_scores(jnp.asarray(query_tokens, jnp.int32))
-        _, cand = self.index.topk_in_row(anchor_scores, min(top_k_retvr, self.index.n_cols))
-        cand = np.asarray(cand)
-        if not rerank:
-            s, i = jax.lax.top_k(self.index.get_complete_row(anchor_scores), top_k)
-            return np.asarray(s), np.asarray(i)
-        exact = self._rerank(query_tokens, cand)
-        order = np.argsort(-exact, axis=1)[:, :top_k]
-        return (
-            np.take_along_axis(exact, order, axis=1),
-            np.take_along_axis(cand, order, axis=1),
-        )
+        """(scores (q, top_k), item indices (q, top_k)) — one fused jit
+        program per batch (reference online path modeled at
+        ..._w_fixed_train_test_splits.py:286-303; cost per query =
+        n_anchor_items + top_k_retvr CE calls)."""
+        query_tokens = np.asarray(query_tokens, np.int32)
+        q, lm = query_tokens.shape
+        top_k_retvr = min(top_k_retvr, self.index.n_cols)
+        top_k = min(top_k, top_k_retvr if rerank else self.index.n_cols)
+        k_max = max(len(self.anchor_item_ids), top_k_retvr)
+        chunk = max(1, min(self._stage_batch(k_max), q))
+        q_pad = q + ((-q) % chunk)
+        qtoks = np.zeros((q_pad, lm), np.int32)
+        qtoks[:q] = query_tokens
+        items, anchor_ids, latent_cols = self._device_consts()
+        fn = self._get_fused_query_fn(q_pad, chunk, lm, top_k, top_k_retvr, rerank)
+        s, i = fn(self.params, jnp.asarray(qtoks), items, anchor_ids, latent_cols)
+        return np.asarray(s)[:q], np.asarray(i)[:q]
 
     def query(
         self,

@@ -1,15 +1,22 @@
-"""Headline benchmark: offline index-build throughput — exact cross-
-encoder (bert-base, 256-token pairs) score-matrix computation, the
-reference's dominant workload (SURVEY §3.2: n_ment x n_ent CE forwards,
+"""Headline benchmarks.
+
+Line 1 — offline index-build throughput: exact cross-encoder (bert-base,
+256-token pairs) score-matrix computation, the reference's dominant
+workload (SURVEY §3.2: n_ment x n_ent CE forwards,
 eval/run_cross_encoder_for_ment_ent_matrix_zeshel.py).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Line 2 — online query throughput at cost=600 CE calls/query (500 anchor
+scores + 100 rerank, the reference cost axis at
+run_retrieval_eval_wrt_exact_crossenc.py:480-481), through the fused
+single-program CurRetriever path.
 
-Baseline: the reference computes this with per-pair BERT forwards on a
-single RTX-8000/2080-ti-class GPU (utils/launch_eval_and_bienc_distill_
-jobs.py:162-163). An fp16 bert-base at 256 tokens on that hardware
-sustains ~400 pairs/s in its harness (batch 50-100, host-side pair
-construction). vs_baseline = our pairs/s / 400.
+Each line is JSON: {"metric", "value", "unit", "vs_baseline"}.
+
+Baselines: the reference runs per-pair BERT forwards on a single
+RTX-8000/2080-ti-class GPU (utils/launch_eval_and_bienc_distill_
+jobs.py:162-163); fp16 bert-base at 256 tokens sustains ~400 pairs/s in
+its harness (batch 50-100, host-side pair construction), i.e. ~0.67
+queries/s at the 600-CE-call budget.
 """
 
 import json
@@ -87,7 +94,57 @@ def main():
                 "unit": "pairs/s (bert-base, 256-token pairs)",
                 "vs_baseline": round(pairs_per_sec / REFERENCE_GPU_PAIRS_PER_SEC, 2),
             }
-        )
+        ),
+        flush=True,
+    )
+
+    if os.environ.get("BENCH_SKIP_QUERY"):
+        return
+
+    # ---- line 2: online query path, cost = 500 anchors + 100 rerank ----
+    from anncur_tpu.core.cur import build_cur
+    from anncur_tpu.core.retriever import CurRetriever
+    from anncur_tpu.models.tokenizer import WordPieceTokenizer, make_test_vocab
+
+    n_items, n_train, k_i, k_retvr, n_q = 10000, 500, 500, 100, 32
+    item_toks = rng.integers(1, spec.vocab_size, size=(n_items, le)).astype(np.int32)
+    train_scores = (
+        rng.standard_normal((n_train, 16)) @ rng.standard_normal((16, n_items))
+    ).astype(np.float32)
+    anchors = np.asarray(sorted(rng.choice(n_items, k_i, replace=False)))
+    index = build_cur(
+        rows=jnp.asarray(train_scores),
+        cols=jnp.asarray(train_scores[:, anchors]),
+        row_idxs=jnp.arange(n_train),
+        col_idxs=jnp.asarray(anchors),
+        approx_preference="rows",
+        validate=False,
+    )
+    retriever = CurRetriever(
+        encoder=ce,
+        params=params,
+        tokenizer=WordPieceTokenizer(make_test_vocab()),
+        item_tokens=item_toks,
+        index=index,
+        anchor_item_ids=anchors,
+    )
+    qtoks = rng.integers(1, spec.vocab_size, size=(n_q, lm)).astype(np.int32)
+    retriever.query_tokens_batch(qtoks, top_k=10, top_k_retvr=k_retvr)  # compile
+    qps = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        retriever.query_tokens_batch(qtoks, top_k=10, top_k_retvr=k_retvr)
+        qps = max(qps, n_q / (time.time() - t0))
+    print(
+        json.dumps(
+            {
+                "metric": "query_throughput_cost600",
+                "value": round(qps, 2),
+                "unit": "queries/s/chip (bert-base CE, 500 anchors + 100 rerank)",
+                "vs_baseline": round(qps / (REFERENCE_GPU_PAIRS_PER_SEC / 600.0), 2),
+            }
+        ),
+        flush=True,
     )
 
 
