@@ -142,7 +142,17 @@ class ScoreMatrixBuilder:
     # granularity. ~32k pairs ~= 25 s at bert-base on v5e.
     max_pairs_per_program: int = 32768
 
+    def __post_init__(self):
+        # jitted step programs keyed by (lm, le, n_e_shard): _make_step
+        # previously returned a fresh jax.jit closure per __call__, which
+        # retraced + re-looked-up the compile cache every build — measured
+        # 1659 vs 2307 pairs/s on v5e for repeat 32x2048 builds.
+        self._step_cache: Dict[Tuple[int, int, int], Any] = {}
+
     def _make_step(self, params, lm: int, le: int, n_e_shard: int):
+        key = (lm, le, n_e_shard)
+        if key in self._step_cache:
+            return self._step_cache[key]
         pair_len = lm + le - 1
         rem = (-pair_len) % self.pair_pad_multiple
         pair_len += rem
@@ -169,7 +179,8 @@ class ScoreMatrixBuilder:
             out_specs=P(None, self.axis),
             check_vma=False,
         )
-        return jax.jit(fn)
+        self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
 
     def __call__(
         self,
