@@ -196,6 +196,32 @@ def _flash_attention(q, k, v, mask_bias, hd):
     return jnp.swapaxes(out, 1, 2)  # (b, s, nh, hd)
 
 
+def _encoder_layer_cls_only(x, mask_bias, layer_params, spec, dtype):
+    """Final encoder layer restricted to the CLS position: when only the
+    pooled/CLS output is consumed (the 'default' cross-encoder head), the
+    last layer's attention needs just the CLS query row and its MLP is
+    position-wise — computing the other s-1 positions is pure waste
+    (measured ~6% of the CE forward at seq 256). Exact, not an
+    approximation. Returns (b, 1, h)."""
+    p = layer_params["attn"]
+    b, s, h = x.shape
+    nh, hd = spec.num_heads, spec.head_dim
+    q = _dense(x[:, :1, :], p["q_kernel"], p["q_bias"], dtype).reshape(b, 1, nh, hd)
+    k = _dense(x, p["k_kernel"], p["k_bias"], dtype).reshape(b, s, nh, hd)
+    v = _dense(x, p["v_kernel"], p["v_bias"], dtype).reshape(b, s, nh, hd)
+    scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd) + mask_bias  # (b, nh, 1, s)
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v, preferred_element_type=dtype)
+    a = _dense(ctx.astype(dtype).reshape(b, 1, h), p["out_kernel"], p["out_bias"], dtype)
+    x0 = _layer_norm(x[:, :1, :] + a, p["ln_scale"], p["ln_bias"], spec.layer_norm_eps)
+    mp = layer_params["mlp"]
+    m = _dense(x0, mp["in_kernel"], mp["in_bias"], dtype)
+    m = _gelu(m, spec.gelu_approximate)
+    m = _dense(m, mp["out_kernel"], mp["out_bias"], dtype)
+    return _layer_norm(x0 + m, mp["ln_scale"], mp["ln_bias"], spec.layer_norm_eps)
+
+
 def _encoder_layer(x, mask_bias, layer_params, spec, dtype, rngs, dropout_rate):
     attn_rng, hid_rng1, hid_rng2 = rngs if rngs is not None else (None, None, None)
     a = _attention(x, mask_bias, layer_params["attn"], spec, dtype, attn_rng, spec.attention_dropout if dropout_rate else 0.0)
@@ -224,11 +250,16 @@ def bert_encode(
     dropout_rng: Optional[jax.Array] = None,
     dropout: bool = False,
     remat: bool = False,
+    cls_only: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (sequence_output (b, s, h) f32, pooled_output (b, h) f32).
 
     pooled_output = tanh(W @ seq[:, 0]) — the HF/reference 'cls_w_lin'
     pooling source (models/biencoder.py:108-109).
+
+    ``cls_only``: compute the FINAL layer for the CLS position only
+    (exact — see _encoder_layer_cls_only); sequence_output is then
+    (b, 1, h). Only valid when downstream consumes CLS/pooled alone.
     """
     b, s = token_ids.shape
     emb = params["embeddings"]
@@ -257,8 +288,12 @@ def bert_encode(
     else:
         layer_rngs = [None] * spec.num_layers
 
+    n_layers = len(params["layers"])
     for li, layer_params in enumerate(params["layers"]):
-        x = layer_fn(x, mask_bias, layer_params, spec, compute_dtype, layer_rngs[li], rate)
+        if cls_only and li == n_layers - 1 and not rate:
+            x = _encoder_layer_cls_only(x, mask_bias, layer_params, spec, compute_dtype)
+        else:
+            x = layer_fn(x, mask_bias, layer_params, spec, compute_dtype, layer_rngs[li], rate)
 
     seq_out = x.astype(jnp.float32)
     pooled = jnp.tanh(

@@ -145,3 +145,55 @@ def test_max_pooling_returns_values_not_tuple(rng):
     seq = jnp.asarray(rng.standard_normal((2, 4, 8)), jnp.float32)
     pooled = pool_sequence(seq, seq[:, 0], "max")
     np.testing.assert_allclose(np.asarray(pooled), np.asarray(seq).max(axis=1), rtol=1e-6)
+
+
+def test_cls_only_last_layer_exact():
+    """cls_only last layer must be EXACT vs the full forward (it only
+    skips positions whose outputs are never consumed)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anncur_tpu.models.bert import BertSpec, bert_encode, init_bert_params
+
+    spec = BertSpec.tiny()
+    params = init_bert_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(1, spec.vocab_size, (4, 32)), jnp.int32)
+    seg = jnp.zeros((4, 32), jnp.int32)
+    mask = jnp.asarray(rng.integers(0, 2, (4, 32)) | np.eye(1, 32, dtype=int)[0], jnp.int32)
+
+    seq_full, pooled_full = bert_encode(params, toks, seg, mask, spec, compute_dtype=jnp.float32)
+    seq_cls, pooled_cls = bert_encode(
+        params, toks, seg, mask, spec, compute_dtype=jnp.float32, cls_only=True
+    )
+    assert seq_cls.shape == (4, 1, spec.hidden_size)
+    np.testing.assert_allclose(np.asarray(seq_cls[:, 0]), np.asarray(seq_full[:, 0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pooled_cls), np.asarray(pooled_full), atol=1e-5)
+
+
+def test_crossencoder_score_cls_only_matches_train_path():
+    """score() at inference (cls_only) == score() computed via the full
+    forward (train=False but full path through pooling)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.crossencoder import CrossEncoder
+
+    spec = BertSpec.tiny()
+    ce = CrossEncoder(spec=spec, cross_enc_type="default", compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    pairs = jnp.asarray(rng.integers(1, spec.vocab_size, (6, 64)), jnp.int32)
+
+    s_infer = ce.score(params, pairs, first_segment_end=32)
+    # force the full path by going through _bert directly
+    from anncur_tpu.models.pooling import pool_sequence
+
+    (seq, pooled), _ = ce._bert(params, pairs, 32, cls_only=False)
+    emb = pool_sequence(seq, pooled, ce.pooling_type)
+    lin = params["score_linear"]
+    s_full = (jnp.dot(emb, lin["kernel"]) + lin["bias"])[:, 0]
+    np.testing.assert_allclose(np.asarray(s_infer), np.asarray(s_full), atol=1e-5)
