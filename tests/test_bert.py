@@ -105,3 +105,26 @@ def test_jit_and_grad():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_gelu_auto_flavor():
+    """gelu auto: erf under f32 (HF parity), tanh under bf16 (error below
+    bf16 resolution, measured on v5e — see BertSpec docstring)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anncur_tpu.models.bert import _gelu
+
+    x32 = jnp.asarray(np.linspace(-4, 4, 1001), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(_gelu(x32)), np.asarray(jax.nn.gelu(x32, approximate=False)), rtol=0
+    )
+    xb = x32.astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(_gelu(xb)), np.asarray(jax.nn.gelu(xb, approximate=True)), rtol=0
+    )
+    # explicit override still wins
+    assert np.allclose(
+        np.asarray(_gelu(xb, approximate=False)),
+        np.asarray(jax.nn.gelu(xb, approximate=False)),
+    )
