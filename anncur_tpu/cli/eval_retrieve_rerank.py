@@ -26,13 +26,19 @@ LOGGER = logging.getLogger("anncur_tpu.eval_retrieve_rerank")
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--ment_file", required=True)
-    p.add_argument("--ent_file", required=True)
+    p.add_argument("--ment_file", default="")
+    p.add_argument("--ent_file", default="")
     p.add_argument("--ent_tokens_file", default="")
-    p.add_argument("--vocab_file", required=True)
+    p.add_argument("--vocab_file", default="")
     p.add_argument("--bienc_ckpt", default="")
     p.add_argument("--crossenc_ckpt", default="")
     p.add_argument("--bienc_only", action="store_true")
+    p.add_argument(
+        "--from_precomputed",
+        action="store_true",
+        help="recompute res.json from saved topk-pred JSONs in --res_dir "
+        "(no models; reference run_w_precomp_results mode)",
+    )
     p.add_argument("--res_dir", required=True)
     p.add_argument("--top_k", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=64)
@@ -54,6 +60,17 @@ def main(argv=None):
     p.add_argument("--num_heads", type=int, default=12)
     p.add_argument("--intermediate_size", type=int, default=3072)
     args = p.parse_args(argv)
+
+    if args.from_precomputed:
+        from anncur_tpu.evalx.retrieve_rerank import run_from_precomputed_preds
+
+        res = run_from_precomputed_preds(args.res_dir)
+        LOGGER.info("metrics from precomputed preds: %s", json.dumps(res, indent=2))
+        return
+
+    for flag in ("ment_file", "ent_file", "vocab_file"):
+        if not getattr(args, flag):
+            p.error(f"--{flag} is required unless --from_precomputed")
 
     import jax
 

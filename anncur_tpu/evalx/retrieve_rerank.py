@@ -174,6 +174,36 @@ def run_retrieve_rerank_eval(
     return res
 
 
+def run_from_precomputed_preds(res_dir: str) -> Dict:
+    """Recompute eval metrics from previously-saved top-k prediction
+    JSONs, no models needed (reference: run_w_precomp_results,
+    run_cross_encoder_w_binenc_retriever_zeshel.py:224-272). Reads
+    gt_labels.txt / bienc_topk_preds.txt /
+    crossenc_topk_preds_w_bienc_retrvr.txt from ``res_dir`` and rewrites
+    res.json."""
+    with open(os.path.join(res_dir, "gt_labels.txt")) as fin:
+        gt_labels = np.asarray(json.load(fin))
+    with open(os.path.join(res_dir, "bienc_topk_preds.txt")) as fin:
+        bi = json.load(fin)
+    with open(
+        os.path.join(res_dir, "crossenc_topk_preds_w_bienc_retrvr.txt")
+    ) as fin:
+        ce = json.load(fin)
+    res = {
+        "bienc": score_topk_preds(
+            gt_labels, np.asarray(bi["indices"]), np.asarray(bi["scores"])
+        ),
+        "crossenc": score_topk_preds(
+            gt_labels, np.asarray(ce["indices"]), np.asarray(ce["scores"])
+        ),
+        "n_ments": int(len(gt_labels)),
+        "from_precomputed": True,
+    }
+    with open(os.path.join(res_dir, "res.json"), "w") as fout:
+        json.dump(res, fout, indent=4)
+    return res
+
+
 def run_biencoder_eval(
     bienc: BiEncoder,
     bienc_params,

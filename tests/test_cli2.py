@@ -212,3 +212,26 @@ def test_chunked_topk_preds_combine_equals_monolithic(world_dir, tmp_path):
             ["--mode", "topk_preds", "--out", out,
              "--chunks", os.path.join(c0, fname), os.path.join(c1, fname)]
         )
+
+
+def test_from_precomputed_preds_matches_live_eval(world_dir, tmp_path):
+    """Re-scoring saved topk-pred JSONs (reference run_w_precomp_results,
+    run_cross_encoder_w_binenc_retriever_zeshel.py:224-272) reproduces the
+    live run's metrics without any model."""
+    from anncur_tpu.cli import eval_retrieve_rerank
+
+    res_dir = str(tmp_path / "rr")
+    eval_retrieve_rerank.main(
+        ["--ment_file", world_dir["ment_file"], "--ent_file", world_dir["ent_file"],
+         "--vocab_file", world_dir["vocab"], "--res_dir", res_dir,
+         "--top_k", "8", "--batch_size", "8"] + TINY
+    )
+    with open(os.path.join(res_dir, "res.json")) as fin:
+        live = json.load(fin)
+    os.remove(os.path.join(res_dir, "res.json"))
+    eval_retrieve_rerank.main(["--res_dir", res_dir, "--from_precomputed"])
+    with open(os.path.join(res_dir, "res.json")) as fin:
+        rescored = json.load(fin)
+    for method in ("bienc", "crossenc"):
+        for metric, val in live[method].items():
+            assert abs(float(rescored[method][metric]) - float(val)) < 1e-6, (method, metric)
