@@ -52,6 +52,11 @@ class CurRetriever:
     # AND MXU-efficient; fixed tiny batches halved throughput).
     target_pairs_per_step: int = 2048
     pair_pad_multiple: int = 128
+    # optional device mesh for multi-chip serving: the query batch is
+    # sharded over the 'data' axis (items/index replicated, zero
+    # collectives — queries are embarrassingly parallel)
+    mesh: Optional[object] = None
+    mesh_axis: str = "data"
 
     @property
     def rerank_batch(self) -> int:  # back-compat alias used in tests
@@ -239,8 +244,24 @@ class CurRetriever:
             s, order = jax.lax.top_k(exact, top_k)
             return s, jnp.take_along_axis(cand, order, axis=1)
 
+        if self._mesh_size() > 1:
+            # multi-chip: per-device fn over the query shard; qtoks arrive
+            # sharded on the data axis, everything else replicated
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            fn = shard_map(
+                fn,
+                mesh=self.mesh,
+                in_specs=(P(), P(self.mesh_axis), P(), P(), P()),
+                out_specs=(P(self.mesh_axis), P(self.mesh_axis)),
+                check_vma=False,
+            )
         self._fused_cache[key] = jax.jit(fn)
         return self._fused_cache[key]
+
+    def _mesh_size(self) -> int:
+        return int(self.mesh.devices.size) if self.mesh is not None else 1
 
     def query_tokens_batch(
         self,
@@ -259,11 +280,14 @@ class CurRetriever:
         top_k = min(top_k, top_k_retvr if rerank else self.index.n_cols)
         k_max = max(len(self.anchor_item_ids), top_k_retvr)
         chunk = max(1, min(self._stage_batch(k_max), q))
-        q_pad = q + ((-q) % chunk)
+        n_dev = self._mesh_size()
+        q_pad = q + ((-q) % (chunk * n_dev))
         qtoks = np.zeros((q_pad, lm), np.int32)
         qtoks[:q] = query_tokens
         items, anchor_ids, latent_cols = self._device_consts()
-        fn = self._get_fused_query_fn(q_pad, chunk, lm, top_k, top_k_retvr, rerank)
+        # fused fn is built on PER-DEVICE shapes; shard_map slices the
+        # global batch along the mesh data axis
+        fn = self._get_fused_query_fn(q_pad // n_dev, chunk, lm, top_k, top_k_retvr, rerank)
         s, i = fn(self.params, jnp.asarray(qtoks), items, anchor_ids, latent_cols)
         return np.asarray(s)[:q], np.asarray(i)[:q]
 

@@ -86,3 +86,23 @@ def test_query_adaptive(retriever_setup):
     # returned scores are exact CE scores at those items
     for i in range(4):
         np.testing.assert_allclose(scores[i], full_scores[16 + i, ids[i]], rtol=1e-4, atol=1e-4)
+
+
+def test_query_batch_mesh_sharded_matches_single(retriever_setup, mesh8):
+    """Multi-chip serving: query batch sharded over the mesh data axis
+    must return exactly the single-device results."""
+    retriever, ment, _, _ = retriever_setup
+    test_toks = ment[16:]
+    s1, i1 = retriever.query_tokens_batch(test_toks, top_k=5, top_k_retvr=20)
+
+    import dataclasses
+
+    sharded = dataclasses.replace(retriever, mesh=mesh8)
+    s2, i2 = sharded.query_tokens_batch(test_toks, top_k=5, top_k_retvr=20)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+    # no-rerank path too
+    s3, i3 = retriever.query_tokens_batch(test_toks, top_k=5, top_k_retvr=20, rerank=False)
+    s4, i4 = sharded.query_tokens_batch(test_toks, top_k=5, top_k_retvr=20, rerank=False)
+    np.testing.assert_array_equal(i3, i4)
+    np.testing.assert_allclose(s3, s4, atol=1e-5)
