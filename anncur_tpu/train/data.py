@@ -211,6 +211,56 @@ def crossenc_batches(
         yield {"pos_pairs": pos_pairs, "neg_pairs": neg_pairs, "first_segment_end": lm}
 
 
+def distill_triplet_batches(
+    data: EntLinkDataset,
+    num_pos_labels: int,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    input_embeds: Optional[np.ndarray] = None,
+    label_embeds: Optional[np.ndarray] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Triplet-style distillation (reference neg_strategy
+    'top_ce_w_bienc_hard_negs_trp' / 'top_ce_w_rand_negs_trp',
+    data_process.py:810-860): each of a mention's top-``num_pos_labels``
+    teacher-CE labels becomes a (mention, pos, neg) triplet, negatives
+    mined per mention with the current bi-encoder towers while treating
+    ALL top-CE labels as positives (random-with-blacklist fallback when
+    no embeddings are given). Yields standard bi-encoder batches with a
+    single negative: {'input': (b,Lm), 'pos': (b,Le), 'negs': (b,1,Le)}.
+    """
+    if data.score_matrix is None:
+        raise ValueError("triplet distillation requires a teacher score matrix")
+    top = negs_mod.get_precomputed_ents_w_scores(data.score_matrix, num_pos_labels)
+    pos_idx = top["indices"]  # (n_m, P)
+    if input_embeds is not None and label_embeds is not None:
+        neg_idx = negs_mod.get_hard_negs_from_embeds_w_blacklist(
+            input_embeds, label_embeds, pos_idx, num_pos_labels
+        )
+    else:
+        neg_idx = negs_mod.get_random_negs_w_blacklist(
+            data.gt_labels, pos_idx, data.n_ents, num_pos_labels, seed
+        )
+    # expand to n_m * P triplets (reference :833-845)
+    n_m = data.n_ments
+    ment_rows = np.repeat(np.arange(n_m), num_pos_labels)
+    pos_flat = pos_idx.reshape(-1)
+    neg_flat = neg_idx.reshape(-1)
+    order = np.arange(len(ment_rows))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    n = len(order)
+    for i in range(0, n, batch_size):
+        idx = order[i : i + batch_size]
+        if len(idx) < batch_size and n >= batch_size:
+            idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+        yield {
+            "input": data.mention_tokens[ment_rows[idx]],
+            "pos": data.entity_tokens[pos_flat[idx]],
+            "negs": data.entity_tokens[neg_flat[idx]][:, None, :],
+        }
+
+
 def distill_batches(
     data: EntLinkDataset,
     top_n_labels: int,

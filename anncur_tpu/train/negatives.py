@@ -75,6 +75,29 @@ def get_hard_negs_from_embeds(
     return out
 
 
+def get_hard_negs_from_embeds_w_blacklist(
+    input_embeds: np.ndarray,  # (b, d)
+    label_embeds: np.ndarray,  # (n, d)
+    blacklists,  # per-row excluded label ids (e.g. top-CE positives)
+    num_negs: int,
+) -> np.ndarray:
+    """Bi-encoder hard negatives with a per-row positive-set blacklist
+    (reference: get_hard_negs_biencoder called with pos_label_idxs =
+    top-CE labels, utils/data_process.py:822-831)."""
+    n_labels = label_embeds.shape[0]
+    k = min(num_negs + max(len(b) for b in blacklists), n_labels)
+    _, idx = mips_topk(jnp.asarray(input_embeds), jnp.asarray(label_embeds), k)
+    idx = np.asarray(idx)
+    out = np.empty((len(blacklists), num_negs), np.int64)
+    for i, banned in enumerate(blacklists):
+        banned = set(int(b) for b in banned)
+        row = [j for j in idx[i] if j not in banned][:num_negs]
+        while len(row) < num_negs:
+            row.append(row[-1] if row else 0)
+        out[i] = row
+    return out
+
+
 def get_hard_negs_tfidf(
     mention_texts: Sequence[str],
     entities: Sequence[Tuple[str, str]],

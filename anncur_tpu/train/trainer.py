@@ -306,6 +306,7 @@ class Trainer:
         eval_every = int(cfg.eval_interval) if cfg.eval_interval and cfg.eval_interval > 0 else 0
         steps_since_eval = 0
         for epoch in range(start_epoch, cfg.num_epochs):
+            self._last_state = state  # current towers for triplet-distill mining
             neg_labels = self._epoch_negatives(train_data, state, epoch)
             batches = self._make_batches(train_data, neg_labels, batch_size, epoch)
             t0 = time.time()
@@ -370,9 +371,13 @@ class Trainer:
                 epoch,
             )
 
+    DISTILL_TRP_STRATEGIES = ("top_ce_w_bienc_hard_negs_trp", "top_ce_w_rand_negs_trp")
+
     def _epoch_negatives(self, data, state: TrainState, epoch: int) -> Optional[np.ndarray]:
         cfg = self.config
-        if self.is_bienc and cfg.neg_strategy in ("in_batch", "top_ce_match"):
+        if self.is_bienc and cfg.neg_strategy in (
+            ("in_batch", "top_ce_match") + self.DISTILL_TRP_STRATEGIES
+        ):
             return None
         if cfg.neg_strategy == "bienc_hard_negs" and self.is_bienc:
             # re-mine with the CURRENT towers each epoch (reference:
@@ -394,6 +399,21 @@ class Trainer:
                 # 'top_ce_match' datasets, data_process.py:706-868)
                 return data_mod.distill_batches(
                     data, self.config.distill_n_labels, batch_size, shuffle, epoch
+                )
+            if self.config.neg_strategy in self.DISTILL_TRP_STRATEGIES:
+                # triplet-style distillation (reference
+                # 'top_ce_w_{bienc_hard,rand}_negs_trp', :810-860):
+                # hard variant mines negs with the CURRENT towers
+                inp = lab = None
+                state = getattr(self, "_last_state", None)
+                if self.config.neg_strategy == "top_ce_w_bienc_hard_negs_trp" and state is not None:
+                    from anncur_tpu.evalx.retrieve_rerank import embed_tokenized
+
+                    inp = embed_tokenized(self.model, state.params, data.mention_tokens, self.config.eval_batch_size, "input")
+                    lab = embed_tokenized(self.model, state.params, data.entity_tokens, self.config.eval_batch_size, "label")
+                return data_mod.distill_triplet_batches(
+                    data, self.config.distill_n_labels, batch_size, shuffle, epoch,
+                    input_embeds=inp, label_embeds=lab,
                 )
             if neg_labels is None:
                 return (

@@ -274,3 +274,46 @@ def test_dev_negs_mined_once_per_epoch(tmp_path, tiny_world, mesh8):
     assert calls["n"] == 1
     trainer._dev_eval_and_ckpt(state, data, cfg.train_batch_size, epoch=1)
     assert calls["n"] == 2
+
+
+def test_distill_triplet_batches_shapes_and_blacklist(tiny_world, rng):
+    from anncur_tpu.train.data import distill_triplet_batches
+
+    data, tok = tiny_world
+    n_m, n_e = data.n_ments, data.n_ents
+    import dataclasses as dc
+
+    scored = dc.replace(data, score_matrix=rng.standard_normal((n_m, n_e)).astype(np.float32))
+    num_pos = 3
+    batches = list(distill_triplet_batches(scored, num_pos, batch_size=8, shuffle=False, seed=0))
+    total = sum(b["input"].shape[0] for b in batches)
+    assert total >= n_m * num_pos - 8  # padded-to-batch semantics
+    b = batches[0]
+    assert b["negs"].shape[1] == 1  # single negative per triplet
+    # positives are the teacher's top-CE labels, negatives never among them
+    top = np.argsort(-scored.score_matrix, axis=1)[:, :num_pos]
+    pos_rows = {tuple(t) for t in data.entity_tokens[top.reshape(-1)]}
+    for bb in batches:
+        for p in bb["pos"]:
+            assert tuple(p) in pos_rows
+
+
+def test_trainer_triplet_distill_smoke(tmp_path, tiny_world, mesh8, rng):
+    """End-to-end: top_ce_w_bienc_hard_negs_trp mines with the current
+    towers and trains through the standard bi-enc path."""
+    import dataclasses as dc
+
+    data, tok = tiny_world
+    scored = dc.replace(
+        data, score_matrix=rng.standard_normal((data.n_ments, data.n_ents)).astype(np.float32)
+    )
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64)
+    enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=32, compute_dtype=jnp.float32)
+    cfg = _mk_config(
+        tmp_path, model_type="bi_enc", loss_type="ce",
+        neg_strategy="top_ce_w_bienc_hard_negs_trp", num_epochs=1,
+        distill_n_labels=2, fast_dev_run=2,
+    )
+    trainer = Trainer(cfg, enc, mesh=mesh8, total_steps=10)
+    state = trainer.train(scored, dev_data=None)
+    assert int(state.step) > 0
