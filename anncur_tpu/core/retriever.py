@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ import numpy as np
 
 from anncur_tpu.core.cur import CurIndex, build_cur
 from anncur_tpu.data.tokenization import get_context_representation_ids
-from anncur_tpu.indexer.score_matrix import ScoreMatrixBuilder, build_pairs
+from anncur_tpu.indexer.score_matrix import ScoreMatrixBuilder
 from anncur_tpu.models.crossencoder import CrossEncoder
 from anncur_tpu.models.tokenizer import WordPieceTokenizer
 

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from anncur_tpu.core.metrics import score_topk_preds
-from anncur_tpu.indexer.score_matrix import build_pairs
 from anncur_tpu.models.biencoder import BiEncoder
 from anncur_tpu.models.crossencoder import CrossEncoder
 from anncur_tpu.ops.mips import mips_topk, mips_topk_sharded, pad_items

@@ -32,7 +32,7 @@ from anncur_tpu.config import Config
 from anncur_tpu.models.biencoder import BiEncoder
 from anncur_tpu.models.crossencoder import CrossEncoder
 from anncur_tpu.train import data as data_mod
-from anncur_tpu.train.checkpoint import TopKCheckpointManager, load_pytree, save_pytree
+from anncur_tpu.train.checkpoint import TopKCheckpointManager, load_pytree
 from anncur_tpu.train.losses import (
     bienc_loss_in_batch_negs,
     bienc_loss_w_negs,
