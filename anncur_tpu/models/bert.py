@@ -204,29 +204,53 @@ def _flash_attention(q, k, v, mask_bias, hd):
     return jnp.swapaxes(out, 1, 2)  # (b, s, nh, hd)
 
 
-def _encoder_layer_cls_only(x, mask_bias, layer_params, spec, dtype):
-    """Final encoder layer restricted to the CLS position: when only the
-    pooled/CLS output is consumed (the 'default' cross-encoder head), the
-    last layer's attention needs just the CLS query row and its MLP is
-    position-wise — computing the other s-1 positions is pure waste
-    (measured ~6% of the CE forward at seq 256). Exact, not an
-    approximation. Returns (b, 1, h)."""
+def _encoder_layer_select_only(
+    x, mask_bias, layer_params, spec, dtype, positions=None, rngs=None, dropout_rate=0.0
+):
+    """Final encoder layer restricted to the consumed positions: when
+    downstream pooling reads only CLS (the 'default' cross-encoder head,
+    cls/cls_w_lin bi-encoder pooling) or only the [unused0/1/2] tag
+    positions (the 'w_embeds' head, spl_tkns towers), the last layer's
+    attention needs just those query rows and its MLP is position-wise —
+    computing the other positions is pure waste (measured ~6% of the CE
+    forward at seq 256). Exact, not an approximation; under training the
+    dropout masks are simply the selected rows of the full-layer masks
+    (same distribution, different rng stream).
+
+    ``positions``: (b, g) int32 row indices to keep, or None for the
+    static CLS slice. Returns (b, g, h) (g=1 for CLS)."""
+    attn_rng, hid_rng1, hid_rng2 = rngs if rngs is not None else (None, None, None)
     p = layer_params["attn"]
     b, s, h = x.shape
     nh, hd = spec.num_heads, spec.head_dim
-    q = _dense(x[:, :1, :], p["q_kernel"], p["q_bias"], dtype).reshape(b, 1, nh, hd)
+    if positions is None:
+        x_sel = x[:, :1, :]
+    else:
+        x_sel = jnp.take_along_axis(x, positions[:, :, None], axis=1)  # (b, g, h)
+    g = x_sel.shape[1]
+    q = _dense(x_sel, p["q_kernel"], p["q_bias"], dtype).reshape(b, g, nh, hd)
     k = _dense(x, p["k_kernel"], p["k_bias"], dtype).reshape(b, s, nh, hd)
     v = _dense(x, p["v_kernel"], p["v_bias"], dtype).reshape(b, s, nh, hd)
     scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(hd) + mask_bias  # (b, nh, 1, s)
+    scores = scores / math.sqrt(hd) + mask_bias  # (b, nh, g, s)
     probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    if attn_rng is not None and dropout_rate:
+        rate = spec.attention_dropout
+        keep = jax.random.bernoulli(attn_rng, 1.0 - rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v, preferred_element_type=dtype)
-    a = _dense(ctx.astype(dtype).reshape(b, 1, h), p["out_kernel"], p["out_bias"], dtype)
-    x0 = _layer_norm(x[:, :1, :] + a, p["ln_scale"], p["ln_bias"], spec.layer_norm_eps)
+    a = _dense(ctx.astype(dtype).reshape(b, g, h), p["out_kernel"], p["out_bias"], dtype)
+    if hid_rng1 is not None and dropout_rate:
+        keep = jax.random.bernoulli(hid_rng1, 1.0 - dropout_rate, a.shape)
+        a = jnp.where(keep, a / (1.0 - dropout_rate), 0.0)
+    x0 = _layer_norm(x_sel + a, p["ln_scale"], p["ln_bias"], spec.layer_norm_eps)
     mp = layer_params["mlp"]
     m = _dense(x0, mp["in_kernel"], mp["in_bias"], dtype)
     m = _gelu(m, spec.gelu_approximate)
     m = _dense(m, mp["out_kernel"], mp["out_bias"], dtype)
+    if hid_rng2 is not None and dropout_rate:
+        keep = jax.random.bernoulli(hid_rng2, 1.0 - dropout_rate, m.shape)
+        m = jnp.where(keep, m / (1.0 - dropout_rate), 0.0)
     return _layer_norm(x0 + m, mp["ln_scale"], mp["ln_bias"], spec.layer_norm_eps)
 
 
@@ -259,6 +283,7 @@ def bert_encode(
     dropout: bool = False,
     remat: bool = False,
     cls_only: bool = False,
+    out_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (sequence_output (b, s, h) f32, pooled_output (b, h) f32).
 
@@ -266,8 +291,15 @@ def bert_encode(
     pooling source (models/biencoder.py:108-109).
 
     ``cls_only``: compute the FINAL layer for the CLS position only
-    (exact — see _encoder_layer_cls_only); sequence_output is then
+    (exact — see _encoder_layer_select_only); sequence_output is then
     (b, 1, h). Only valid when downstream consumes CLS/pooled alone.
+
+    ``out_positions``: (b, g) int32 — compute the FINAL layer for these
+    positions only (exact, same rationale); sequence_output is then
+    (b, g, h) with row j holding position out_positions[:, j]. Only
+    valid when downstream consumes exactly those positions (e.g. the
+    w_embeds special-token head). pooled_output is then meaningless
+    unless position 0 (CLS) is included first.
     """
     b, s = token_ids.shape
     emb = params["embeddings"]
@@ -297,9 +329,13 @@ def bert_encode(
         layer_rngs = [None] * spec.num_layers
 
     n_layers = len(params["layers"])
+    select_last = cls_only or out_positions is not None
     for li, layer_params in enumerate(params["layers"]):
-        if cls_only and li == n_layers - 1 and not rate:
-            x = _encoder_layer_cls_only(x, mask_bias, layer_params, spec, compute_dtype)
+        if select_last and li == n_layers - 1:
+            x = _encoder_layer_select_only(
+                x, mask_bias, layer_params, spec, compute_dtype,
+                None if cls_only else out_positions, layer_rngs[li], rate,
+            )
         else:
             x = layer_fn(x, mask_bias, layer_params, spec, compute_dtype, layer_rngs[li], rate)
 

@@ -16,11 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from anncur_tpu.models.bert import BertSpec, bert_encode, init_bert_params
-from anncur_tpu.models.pooling import (
-    entity_embed,
-    mention_embed,
-    pool_sequence,
-)
+from anncur_tpu.models.pooling import pool_sequence
 from anncur_tpu.models.special_tokens import NULL_IDX
 
 
@@ -101,6 +97,28 @@ class BiEncoder:
         rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         token_ids, segment_ids, mask = to_bert_input(token_ids)
+        # position-selective final layer: CLS-family pooling consumes only
+        # CLS; spl_tkns consumes only the tag positions. Either way the
+        # last layer runs just those rows (exact, fwd + bwd; see
+        # bert._encoder_layer_select_only).
+        cls_only = self.pooling_type in ("cls", "cls_w_lin")
+        out_positions = None
+        if self.pooling_type == "spl_tkns":
+            from anncur_tpu.models.pooling import _first_position
+            from anncur_tpu.models.special_tokens import (
+                ENT_END_ID,
+                ENT_START_ID,
+                ENT_TITLE_ID,
+            )
+
+            if which == "input":
+                out_positions = jnp.stack(
+                    [_first_position(token_ids, ENT_START_ID),
+                     _first_position(token_ids, ENT_END_ID)],
+                    axis=1,
+                )
+            else:
+                out_positions = _first_position(token_ids, ENT_TITLE_ID)[:, None]
         seq_out, pooled = bert_encode(
             self._tower(params, which),
             token_ids,
@@ -111,10 +129,15 @@ class BiEncoder:
             dropout_rng=rng,
             dropout=train,
             remat=self.remat,
+            cls_only=cls_only,
+            out_positions=out_positions,
         )
         if self.pooling_type == "spl_tkns":
             # special-token towers (reference: models/biencoder.py:165-173)
-            emb = mention_embed(seq_out, token_ids) if which == "input" else entity_embed(seq_out, token_ids)
+            if which == "input":
+                emb = (seq_out[:, 0, :] + seq_out[:, 1, :]) / 2.0
+            else:
+                emb = seq_out[:, 0, :]
         else:
             emb = pool_sequence(seq_out, pooled, self.pooling_type)
         if self.add_linear_layer:

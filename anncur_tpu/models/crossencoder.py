@@ -18,12 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from anncur_tpu.models.bert import BertSpec, bert_encode, init_bert_params
-from anncur_tpu.models.pooling import (
-    entity_embed,
-    mention_embed,
-    pool_sequence,
-    special_token_embeds,
-)
+from anncur_tpu.models.pooling import pool_sequence
 from anncur_tpu.models.special_tokens import NULL_IDX
 
 
@@ -73,7 +68,10 @@ class CrossEncoder:
 
     # ------------------------------------------------------------------ #
 
-    def _bert(self, params, token_ids, first_segment_end, train=False, rng=None, cls_only=False):
+    def _bert(
+        self, params, token_ids, first_segment_end, train=False, rng=None,
+        cls_only=False, out_positions=None,
+    ):
         token_ids, segment_ids, mask = to_cross_bert_input(token_ids, first_segment_end)
         return bert_encode(
             params["bert"],
@@ -86,7 +84,28 @@ class CrossEncoder:
             dropout=train,
             remat=self.remat,
             cls_only=cls_only,
+            out_positions=out_positions,
         ), token_ids
+
+    @staticmethod
+    def _tag_positions(token_ids: jax.Array) -> jax.Array:
+        """(b, 3) first positions of [unused0], [unused1], [unused2] —
+        the only positions the w_embeds head consumes."""
+        from anncur_tpu.models.pooling import _first_position
+        from anncur_tpu.models.special_tokens import (
+            ENT_END_ID,
+            ENT_START_ID,
+            ENT_TITLE_ID,
+        )
+
+        return jnp.stack(
+            [
+                _first_position(token_ids, ENT_START_ID),
+                _first_position(token_ids, ENT_END_ID),
+                _first_position(token_ids, ENT_TITLE_ID),
+            ],
+            axis=1,
+        )
 
     def score(
         self,
@@ -98,17 +117,18 @@ class CrossEncoder:
     ) -> jax.Array:
         """Scalar score per pair, shape (b,)
         (reference: score_candidate -> forward, crossencoder.py:450-468)."""
-        # CLS-consuming head at inference: final encoder layer runs for
-        # the CLS position only (exact; ~6% faster at seq 256)
-        cls_only = (
-            self.cross_enc_type == "default"
-            and self.pooling_type in ("cls", "cls_w_lin")
-            and not train
-        )
-        (seq_out, pooled), tok = self._bert(
-            params, pair_token_ids, first_segment_end, train, rng, cls_only=cls_only
+        # CLS-consuming head: final encoder layer runs for the CLS
+        # position only (exact; ~6% faster at seq 256 — applies to the
+        # backward pass too, since non-CLS last-layer outputs never
+        # reach the loss)
+        cls_only = self.cross_enc_type == "default" and self.pooling_type in (
+            "cls",
+            "cls_w_lin",
         )
         if self.cross_enc_type == "default":
+            (seq_out, pooled), tok = self._bert(
+                params, pair_token_ids, first_segment_end, train, rng, cls_only=cls_only
+            )
             emb = pool_sequence(seq_out, pooled, self.pooling_type)
             if train and rng is not None:
                 keep = jax.random.bernoulli(jax.random.fold_in(rng, 11), 0.9, emb.shape)
@@ -118,8 +138,14 @@ class CrossEncoder:
                 jnp.dot(emb, lin["kernel"], preferred_element_type=jnp.float32)
                 + lin["bias"]
             )[:, 0]
-        # w_embeds: dot of mention and entity special-token embeddings
-        m_emb, e_emb = special_token_embeds(seq_out, tok)
+        # w_embeds: dot of mention and entity special-token embeddings;
+        # the final layer runs only at the three tag positions (exact)
+        pos = self._tag_positions(pair_token_ids)
+        (seq_out, _), _ = self._bert(
+            params, pair_token_ids, first_segment_end, train, rng, out_positions=pos
+        )
+        m_emb = (seq_out[:, 0, :] + seq_out[:, 1, :]) / 2.0
+        e_emb = seq_out[:, 2, :]
         return jnp.sum(m_emb * e_emb, axis=-1)
 
     def embed_paired(
@@ -132,21 +158,40 @@ class CrossEncoder:
         (reference: embed_paired_input_and_labels, crossencoder.py:471-484)."""
         if self.cross_enc_type != "w_embeds":
             raise ValueError("embed_paired requires cross_enc_type='w_embeds'")
-        (seq_out, _), tok = self._bert(params, pair_token_ids, first_segment_end)
-        return special_token_embeds(seq_out, tok)
+        pos = self._tag_positions(pair_token_ids)
+        (seq_out, _), _ = self._bert(
+            params, pair_token_ids, first_segment_end, out_positions=pos
+        )
+        return (seq_out[:, 0, :] + seq_out[:, 1, :]) / 2.0, seq_out[:, 2, :]
 
     def embed_input(self, params, token_ids: jax.Array) -> jax.Array:
         """Mention-only embedding (reference: forward_for_input_embeds,
         crossencoder.py:127-158 / BertWrapper fallback)."""
-        (seq_out, pooled), tok = self._bert(params, token_ids, 0)
         if self.cross_enc_type == "w_embeds":
-            return mention_embed(seq_out, tok)
+            from anncur_tpu.models.pooling import _first_position
+            from anncur_tpu.models.special_tokens import ENT_END_ID, ENT_START_ID
+
+            pos = jnp.stack(
+                [_first_position(token_ids, ENT_START_ID),
+                 _first_position(token_ids, ENT_END_ID)],
+                axis=1,
+            )
+            (seq_out, _), _ = self._bert(params, token_ids, 0, out_positions=pos)
+            return (seq_out[:, 0, :] + seq_out[:, 1, :]) / 2.0
+        cls_only = self.pooling_type in ("cls", "cls_w_lin")
+        (seq_out, pooled), tok = self._bert(params, token_ids, 0, cls_only=cls_only)
         return pool_sequence(seq_out, pooled, self.pooling_type)
 
     def embed_label(self, params, token_ids: jax.Array) -> jax.Array:
         """Entity-only embedding (reference: forward_for_label_embeds,
         crossencoder.py:161-191)."""
-        (seq_out, pooled), tok = self._bert(params, token_ids, 0)
         if self.cross_enc_type == "w_embeds":
-            return entity_embed(seq_out, tok)
+            from anncur_tpu.models.pooling import _first_position
+            from anncur_tpu.models.special_tokens import ENT_TITLE_ID
+
+            pos = _first_position(token_ids, ENT_TITLE_ID)[:, None]
+            (seq_out, _), _ = self._bert(params, token_ids, 0, out_positions=pos)
+            return seq_out[:, 0, :]
+        cls_only = self.pooling_type in ("cls", "cls_w_lin")
+        (seq_out, pooled), tok = self._bert(params, token_ids, 0, cls_only=cls_only)
         return pool_sequence(seq_out, pooled, self.pooling_type)

@@ -197,3 +197,160 @@ def test_crossencoder_score_cls_only_matches_train_path():
     lin = params["score_linear"]
     s_full = (jnp.dot(emb, lin["kernel"]) + lin["bias"])[:, 0]
     np.testing.assert_allclose(np.asarray(s_infer), np.asarray(s_full), atol=1e-5)
+
+
+def test_cls_only_training_grads_match_full_path():
+    """Training with cls_only (dropout off) must produce EXACTLY the
+    same loss and gradients as the full last layer: the non-CLS
+    last-layer outputs never reach the loss, so skipping them cannot
+    change the backward pass."""
+    from anncur_tpu.models.pooling import pool_sequence
+
+    spec = BertSpec.tiny(hidden_dropout=0.0, attention_dropout=0.0)
+    ce = CrossEncoder(spec=spec, cross_enc_type="default", compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(2)
+    pairs = jnp.asarray(rng.integers(1, spec.vocab_size, (4, 64)), jnp.int32)
+
+    def loss_cls_only(p):
+        s = ce.score(p, pairs, first_segment_end=32)  # cls_only hardwired
+        return jnp.sum(s**2)
+
+    def loss_full(p):
+        (seq, pooled), _ = ce._bert(p, pairs, 32, cls_only=False)
+        emb = pool_sequence(seq, pooled, ce.pooling_type)
+        lin = p["score_linear"]
+        s = (jnp.dot(emb, lin["kernel"]) + lin["bias"])[:, 0]
+        return jnp.sum(s**2)
+
+    l1, g1 = jax.value_and_grad(loss_cls_only)(params)
+    l2, g2 = jax.value_and_grad(loss_full)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_cls_only_training_with_dropout_runs_and_is_deterministic():
+    """With dropout active, the cls_only last layer draws its own rng
+    stream; the step must be reproducible under the same key and the
+    grads finite and nonzero in every layer."""
+    spec = BertSpec.tiny()  # dropout 0.1
+    ce = CrossEncoder(spec=spec, cross_enc_type="default", compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(3)
+    pairs = jnp.asarray(rng.integers(1, spec.vocab_size, (4, 64)), jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    def loss(p):
+        s = ce.score(p, pairs, first_segment_end=32, train=True, rng=key)
+        return jnp.sum(s**2)
+
+    l1, g1 = jax.value_and_grad(loss)(params)
+    l2, g2 = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=0)
+    leaves1 = jax.tree_util.tree_leaves(g1)
+    leaves2 = jax.tree_util.tree_leaves(g2)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b)) for a, b in zip(leaves1, leaves2))
+    assert all(np.all(np.isfinite(np.asarray(a))) for a in leaves1)
+    # every encoder layer (incl. the cls_only last one) must receive grads
+    for li, layer in enumerate(g1["bert"]["layers"]):
+        norm = float(sum(jnp.sum(jnp.abs(v)) for v in jax.tree_util.tree_leaves(layer)))
+        assert norm > 0.0, f"layer {li} got zero gradient"
+
+
+def test_biencoder_cls_pooling_uses_cls_only_and_matches_full():
+    """Bi-encoder cls/cls_w_lin pooling runs the final layer CLS-only;
+    embeddings must match the full forward exactly."""
+    from anncur_tpu.models.bert import bert_encode
+    from anncur_tpu.models.pooling import pool_sequence
+
+    for pooling in ("cls", "cls_w_lin"):
+        enc = BiEncoder(
+            spec=SPEC, pooling_type=pooling, embed_dim=SPEC.hidden_size,
+            compute_dtype=jnp.float32,
+        )
+        params = enc.init(jax.random.PRNGKey(4))
+        rng = np.random.default_rng(4)
+        toks = jnp.asarray(rng.integers(1, SPEC.vocab_size, (3, 24)), jnp.int32)
+        emb = enc.encode_input(params, toks)
+        tok2, seg, mask = to_bert_input(toks)
+        seq, pooled = bert_encode(
+            params["input_bert"], tok2, seg, mask, SPEC, compute_dtype=jnp.float32
+        )
+        ref = pool_sequence(seq, pooled, pooling)
+        np.testing.assert_allclose(np.asarray(emb), np.asarray(ref), atol=1e-5)
+
+
+def test_w_embeds_tag_only_last_layer_matches_full():
+    """The w_embeds head consumes only the three tag positions; running
+    the final layer at just those rows must be EXACT vs the full forward
+    (score, embed_paired, embed_input, embed_label)."""
+    from anncur_tpu.models.bert import bert_encode
+    from anncur_tpu.models.pooling import special_token_embeds
+
+    ce = CrossEncoder(spec=SPEC, cross_enc_type="w_embeds", compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(5))
+    rng = np.random.default_rng(5)
+    pairs = np.asarray(rng.integers(4, SPEC.vocab_size, (5, 48)), np.int32)
+    pairs[:, 2], pairs[:, 7] = 1, 2   # [unused0], [unused1]
+    pairs[:, 27] = 3                  # [unused2] in the label half
+    pairs = jnp.asarray(pairs)
+
+    s_fast = ce.score(params, pairs, first_segment_end=24)
+    (seq, _), tok = ce._bert(params, pairs, 24)  # full path: no out_positions
+    # _bert always selects now; recompute truly-full via bert_encode
+    tok_ids, seg, mask = to_cross_bert_input(pairs, 24)
+    seq_full, _ = bert_encode(params["bert"], tok_ids, seg, mask, SPEC, compute_dtype=jnp.float32)
+    m_ref, e_ref = special_token_embeds(seq_full, tok_ids)
+    s_ref = jnp.sum(m_ref * e_ref, axis=-1)
+    np.testing.assert_allclose(np.asarray(s_fast), np.asarray(s_ref), atol=1e-5)
+
+    m_fast, e_fast = ce.embed_paired(params, pairs, 24)
+    np.testing.assert_allclose(np.asarray(m_fast), np.asarray(m_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_fast), np.asarray(e_ref), atol=1e-5)
+
+    # single-side embeds
+    singles = np.asarray(rng.integers(4, SPEC.vocab_size, (5, 24)), np.int32)
+    singles[:, 1], singles[:, 4] = 1, 2
+    singles[:, 6] = 3
+    singles = jnp.asarray(singles)
+    from anncur_tpu.models.biencoder import to_bert_input as _tbi
+    from anncur_tpu.models.pooling import entity_embed, mention_embed
+
+    t2, sg2, mk2 = _tbi(singles)
+    sq, _ = bert_encode(params["bert"], t2, sg2, mk2, SPEC, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ce.embed_input(params, singles)),
+        np.asarray(mention_embed(sq, t2)), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ce.embed_label(params, singles)),
+        np.asarray(entity_embed(sq, t2)), atol=1e-5,
+    )
+
+
+def test_spl_tkns_biencoder_tag_only_matches_full():
+    """spl_tkns bi-encoder towers with the tag-only final layer must be
+    EXACT vs pooling over the full forward."""
+    from anncur_tpu.models.bert import bert_encode
+    from anncur_tpu.models.pooling import entity_embed, mention_embed
+
+    enc = BiEncoder(
+        spec=SPEC, pooling_type="spl_tkns", embed_dim=SPEC.hidden_size,
+        compute_dtype=jnp.float32,
+    )
+    params = enc.init(jax.random.PRNGKey(6))
+    rng = np.random.default_rng(6)
+    toks = np.asarray(rng.integers(4, SPEC.vocab_size, (4, 24)), np.int32)
+    toks[:, 2], toks[:, 5] = 1, 2
+    toks[:, 3] = 3
+    toks = jnp.asarray(toks)
+
+    q = enc.encode_input(params, toks)
+    l = enc.encode_label(params, toks)
+
+    t2, seg, mask = to_bert_input(toks)
+    sq_in, _ = bert_encode(params["input_bert"], t2, seg, mask, SPEC, compute_dtype=jnp.float32)
+    sq_lb, _ = bert_encode(params["label_bert"], t2, seg, mask, SPEC, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(mention_embed(sq_in, t2)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(entity_embed(sq_lb, t2)), atol=1e-5)
