@@ -49,8 +49,11 @@ class CurRetriever:
     max_query_len: int = 128
     # CE forwards are sized to ~target_pairs_per_step pairs regardless of
     # candidate-set width: mentions per step = target // k (memory-safe
-    # AND MXU-efficient; fixed tiny batches halved throughput).
-    target_pairs_per_step: int = 2048
+    # AND MXU-efficient; fixed tiny batches halved throughput). 4096
+    # measured best on v5e-16GB for the fused query program: 3.59 ->
+    # 5.07 q/s at cost 600 vs 2048 (8192 regresses to 4.99 — bigger
+    # scan bodies stop paying once the MXU is saturated).
+    target_pairs_per_step: int = 4096
     pair_pad_multiple: int = 128
     # optional device mesh for multi-chip serving: the query batch is
     # sharded over the 'data' axis (items/index replicated, zero
@@ -95,11 +98,23 @@ class CurRetriever:
         seed: int = 0,
         train_scores: Optional[np.ndarray] = None,
         max_query_len: int = 128,
+        rcond: Optional[float] = None,
     ) -> "CurRetriever":
         """Offline indexing: score anchor queries against ALL items (the
         expensive mesh-sharded step), sample anchor items, build the CUR
         latent factors with all train rows as anchors
-        (reference flow: ..._w_fixed_train_test_splits.py:286-303)."""
+        (reference flow: ..._w_fixed_train_test_splits.py:286-303).
+
+        ``rcond``: pinv cutoff for the anchor-intersection pseudoinverse
+        (relative to the largest singular value). Default (None) cuts at
+        f32 machine eps — correct when the score matrix's structure sits
+        well above the compute noise floor (any trained CE). If the
+        matrix's ranking signal is within ~1e-3 of its dominant singular
+        value (e.g. near-constant scores), TPU bf16-level matmul noise
+        differs between the offline builder program and the online fused
+        query program and the near-null pinv directions amplify it: pass
+        rcond~1e-3 to cut at the device noise floor instead (measured:
+        recall@5 0.5 -> 0.9 on a degenerate rank-1-ish matrix)."""
         if train_scores is None:
             LOGGER.info(
                 "offline scoring: %d anchor queries x %d items",
@@ -119,6 +134,7 @@ class CurRetriever:
             col_idxs=anchors,
             approx_preference="rows",
             validate=False,
+            rcond=rcond,
         )
         return cls(
             encoder=encoder,

@@ -106,7 +106,8 @@ def main():
     from anncur_tpu.core.retriever import CurRetriever
     from anncur_tpu.models.tokenizer import WordPieceTokenizer, make_test_vocab
 
-    n_items, n_train, k_i, k_retvr, n_q = 10000, 500, 500, 100, 32
+    n_items, n_train, k_i, k_retvr = 10000, 500, 500, 100
+    n_q = int(os.environ.get("BENCH_QUERY_BATCH", "32"))
     item_toks = rng.integers(1, spec.vocab_size, size=(n_items, le)).astype(np.int32)
     train_scores = (
         rng.standard_normal((n_train, 16)) @ rng.standard_normal((16, n_items))
@@ -127,6 +128,7 @@ def main():
         item_tokens=item_toks,
         index=index,
         anchor_item_ids=anchors,
+        target_pairs_per_step=int(os.environ.get("BENCH_QUERY_TPS", "4096")),
     )
     qtoks = rng.integers(1, spec.vocab_size, size=(n_q, lm)).astype(np.int32)
     retriever.query_tokens_batch(qtoks, top_k=10, top_k_retvr=k_retvr)  # compile
