@@ -22,6 +22,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from anncur_tpu.ops.pinv import pinv, pinv_f64
@@ -147,6 +148,11 @@ def build_cur(
     (numerical parity with the reference's np.linalg.pinv), 'f32' runs the
     SVD in float32 under jit (TPU-native). 'auto' picks f64_host for
     concrete inputs and f32 when tracing.
+
+    ``rcond``: float cutoff, None (f32-eps relative — right when the
+    matrix structure sits well above the compute noise floor), or the
+    string 'noise' for the Gavish-Donoho median-based adaptive threshold
+    (ops/pinv.py::noise_rcond; host-only — requires concrete inputs).
     """
     rows = jnp.asarray(rows, jnp.float32)
     cols = jnp.asarray(cols, jnp.float32)
@@ -172,6 +178,16 @@ def build_cur(
             isinstance(x, jax.core.Tracer) for x in (rows, cols, full_matrix)
         )
         pinv_impl = "f32" if tracing else "f64_host"
+    if isinstance(rcond, str):
+        if rcond != "noise":
+            raise ValueError(f"rcond={rcond!r} not in (None, float, 'noise')")
+        if isinstance(cols, jax.core.Tracer):
+            raise ValueError("rcond='noise' needs concrete inputs (host SVD)")
+        from anncur_tpu.ops.pinv import noise_rcond
+
+        # threshold estimated on the matrix actually inverted below
+        target = cols if full_matrix is not None else cols[row_idxs, :]
+        rcond = noise_rcond(np.asarray(target))
     if pinv_impl == "f64_host":
         _pinv = lambda m: jnp.asarray(pinv_f64(m, rcond), jnp.float32)  # noqa: E731
     elif pinv_impl == "f32":

@@ -113,8 +113,10 @@ class CurRetriever:
         value (e.g. near-constant scores), TPU bf16-level matmul noise
         differs between the offline builder program and the online fused
         query program and the near-null pinv directions amplify it: pass
-        rcond~1e-3 to cut at the device noise floor instead (measured:
-        recall@5 0.5 -> 0.9 on a degenerate rank-1-ish matrix)."""
+        rcond~1e-3, or the string 'noise' for the Gavish-Donoho adaptive
+        threshold (ops/pinv.py::noise_rcond), to cut at the noise floor
+        instead (measured: recall@5 0.5 -> 0.9 on a degenerate
+        rank-1-ish matrix)."""
         if train_scores is None:
             LOGGER.info(
                 "offline scoring: %d anchor queries x %d items",

@@ -25,6 +25,33 @@ def pinv(mat: jax.Array, rcond: float | None = None) -> jax.Array:
     return jnp.linalg.pinv(mat.astype(jnp.float32), rcond=rcond)
 
 
+def noise_rcond(mat) -> float:
+    """Noise-adaptive relative pinv cutoff (Gavish-Donoho 2014 optimal
+    hard threshold for singular values, unknown-noise form).
+
+    The singular values of a low-rank-plus-noise matrix split into
+    signal and a noise bulk whose scale shows up in the MEDIAN singular
+    value; the optimal hard threshold is ``omega(beta) * sigma_med``
+    with ``omega`` a function of the aspect ratio ``beta = m/n``
+    (approximation from the paper, eq. 5: accurate to ~0.02). Use as
+    ``rcond=noise_rcond(C)`` when the matrix's structure may sit near
+    the compute noise floor — e.g. score matrices produced by DIFFERENT
+    TPU programs whose bf16-level matmul rounding differs (offline
+    builder vs online fused query program); the f32-eps default keeps
+    decades of noise directions there and pinv amplifies the
+    inconsistency (measured recall@5 0.5 -> 0.9 on a rank-1-ish CE
+    matrix, tools note in CLAUDE.md).
+    """
+    mat = np.asarray(mat, dtype=np.float64)
+    m, n = mat.shape[-2], mat.shape[-1]
+    beta = min(m, n) / max(m, n)
+    omega = 0.56 * beta**3 - 0.95 * beta**2 + 1.82 * beta + 1.43
+    sv = np.linalg.svd(mat, compute_uv=False)
+    if sv[..., 0] == 0:
+        return 0.0
+    return float(omega * np.median(sv, axis=-1) / sv[..., 0])
+
+
 def pinv_f64(mat, rcond: float | None = None) -> np.ndarray:
     """Host float64 pseudoinverse (numpy/LAPACK) for conditioning parity.
 

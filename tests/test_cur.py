@@ -135,3 +135,62 @@ def test_index_is_jittable_pytree(low_rank_factory):
 
     scores, inds = query(idx, jnp.asarray(mat[:4, :8]))
     assert scores.shape == (4, 5) and inds.shape == (4, 5)
+
+
+def test_noise_rcond_recovers_rank():
+    """Gavish-Donoho threshold must land between the smallest signal
+    singular value and the noise bulk on a low-rank + noise matrix."""
+    from anncur_tpu.ops.pinv import noise_rcond
+
+    rng = np.random.default_rng(0)
+    rank, n = 8, 100
+    signal = rng.standard_normal((n, rank)) @ rng.standard_normal((rank, n))
+    noise = 1e-3 * rng.standard_normal((n, n))
+    mat = (signal + noise).astype(np.float32)
+    rc = noise_rcond(mat)
+    sv = np.linalg.svd(mat, compute_uv=False)
+    kept = int(np.sum(sv > rc * sv[0]))
+    assert kept == rank, (kept, rank, rc)
+
+
+def test_build_cur_rcond_noise_beats_default_on_noisy_square():
+    """On a noisy square anchor intersection, rcond='noise' must not be
+    worse than the near-zero-cutoff reconstruction and must beat it when
+    the intersection is ill-conditioned (the PARITY.md scenario: noise
+    directions amplified through the pinv destroy non-anchor rows)."""
+    rng = np.random.default_rng(1)
+    rank, n_m, n_e, k = 8, 80, 120, 40
+    M = (rng.standard_normal((n_m, rank)) @ rng.standard_normal((rank, n_e))).astype(np.float32)
+    M += 5e-3 * rng.standard_normal(M.shape).astype(np.float32)
+    row_idxs = np.arange(k)
+    col_idxs = np.asarray(sorted(rng.choice(n_e, k, replace=False)))
+
+    def frob_err(rcond):
+        idx = build_cur(
+            rows=M[row_idxs, :], cols=M[:, col_idxs],
+            row_idxs=row_idxs, col_idxs=col_idxs,
+            approx_preference="rows", rcond=rcond, validate=False,
+        )
+        rec = np.asarray(idx.reconstruct())
+        return float(np.linalg.norm(rec - M) / np.linalg.norm(M))
+
+    err_noise = frob_err("noise")
+    err_tiny = frob_err(1e-12)
+    assert err_noise <= err_tiny + 1e-6, (err_noise, err_tiny)
+    assert err_noise < 0.05, err_noise
+
+
+def test_build_cur_rcond_noise_rejects_tracers():
+    import jax
+
+    rng = np.random.default_rng(2)
+    M = rng.standard_normal((16, 24)).astype(np.float32)
+
+    def f(m):
+        return build_cur(
+            rows=m[:8], cols=m[:, :8], row_idxs=jnp.arange(8),
+            col_idxs=jnp.arange(8), rcond="noise", validate=False,
+        ).reconstruct()
+
+    with pytest.raises(ValueError, match="concrete"):
+        jax.jit(f)(jnp.asarray(M))
