@@ -317,3 +317,39 @@ def test_trainer_triplet_distill_smoke(tmp_path, tiny_world, mesh8, rng):
     trainer = Trainer(cfg, enc, mesh=mesh8, total_steps=10)
     state = trainer.train(scored, dev_data=None)
     assert int(state.step) > 0
+
+
+def test_crash_resume_bitwise_matches_monolithic(tmp_path, tiny_world, mesh8):
+    """Elastic-training guarantee: train 1 epoch, 'crash', resume for 2
+    more — final params must be BITWISE identical to an uninterrupted
+    3-epoch run (eoe checkpoints carry params + opt_state + step; data
+    order and negative mining are epoch-seeded; dropout disabled so the
+    rng stream does not enter the math)."""
+    data, tok = tiny_world
+    spec = BertSpec.tiny(
+        vocab_size=tok.vocab_size, hidden_size=32, num_layers=1, num_heads=2,
+        intermediate_size=64, hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=32, compute_dtype=jnp.float32)
+
+    # run A: 1 epoch, then the process "dies"
+    cfg_a = _mk_config(tmp_path / "a", model_type="bi_enc", loss_type="ce", num_epochs=1)
+    Trainer(cfg_a, enc, mesh=mesh8, total_steps=30).train(data, dev_data=None)
+    # resume in a NEW trainer (fresh process semantics) for epochs 1-2
+    cfg_a2 = _mk_config(tmp_path / "a", model_type="bi_enc", loss_type="ce", num_epochs=3)
+    state_resumed = Trainer(cfg_a2, enc, mesh=mesh8, total_steps=30).train(
+        data, dev_data=None, resume=True
+    )
+
+    # run B: uninterrupted 3 epochs
+    cfg_b = _mk_config(tmp_path / "b", model_type="bi_enc", loss_type="ce", num_epochs=3)
+    state_mono = Trainer(cfg_b, enc, mesh=mesh8, total_steps=30).train(data, dev_data=None)
+
+    assert int(state_resumed.step) == int(state_mono.step)
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_resumed.params),
+        jax.tree_util.tree_leaves(state_mono.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
