@@ -36,7 +36,15 @@ def main(argv=None):
     p.add_argument("--ment_file", default="", help="raw mentions (needed for method tfidf)")
     p.add_argument("--ent_file", default="", help="raw entities (needed for method tfidf)")
     p.add_argument("--misc", default="")
+    p.add_argument(
+        "--rcond", default="",
+        help="pinv cutoff for CUR methods: empty = f32-eps default, a float, "
+             "or 'noise' for the Gavish-Donoho adaptive threshold",
+    )
     args = p.parse_args(argv)
+    rcond = None
+    if args.rcond:
+        rcond = args.rcond if args.rcond == "noise" else float(args.rcond)
 
     data = load_score_matrix(args.score_matrix)
     exact = np.asarray(data["ment_to_ent_scores"], np.float32)
@@ -83,6 +91,7 @@ def main(argv=None):
             top_k_retvr_vals=args.top_k_retvr_vals,
             bienc_scores=bienc_scores,
             misc=args.misc,
+            rcond=rcond,
         )
     else:
         train = None
@@ -103,6 +112,7 @@ def main(argv=None):
                 bienc_scores=bienc_scores,
                 tfidf_scores=tfidf_scores,
                 misc=args.misc,
+                rcond=rcond,
             )
 
 

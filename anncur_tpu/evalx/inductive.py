@@ -42,6 +42,7 @@ def cur_project_test_scores(
     train_scores: np.ndarray,  # (n_train, n_ents) exact CE scores
     test_anchor_scores: np.ndarray,  # (n_test, n_anchors) exact CE scores
     anchor_ents: np.ndarray,  # (n_anchors,) sorted
+    rcond=None,  # None | float | 'noise' (see build_cur)
 ) -> np.ndarray:
     """Online projection: build CUR with ALL train rows as anchors and
     the given anchor items, then complete the unseen test rows
@@ -54,6 +55,7 @@ def cur_project_test_scores(
         col_idxs=anchor_ents,
         approx_preference="rows",
         validate=False,
+        rcond=rcond,
     )
     # device array: downstream eval is device-resident (evalx/core.py)
     import jax.numpy as jnp
@@ -74,6 +76,7 @@ def run_inductive_eval(
     tfidf_scores: Optional[np.ndarray] = None,  # (n_test, n_ents)
     ent_to_ent_data: Optional[Dict] = None,  # {'scores': (n_e,k), 'anchor_ents': (k,)}
     misc: str = "",
+    rcond=None,  # pinv cutoff for CUR methods: None | float | 'noise'
 ) -> Dict:
     """Per-seed nested result dict {top_k -> k_retvr -> anc_n_e -> metrics}
     written to res_dir/method={method}_s={seed}{misc}/res.json."""
@@ -106,7 +109,7 @@ def run_inductive_eval(
         for n_anc in n_ent_anchors_vals:
             anchor_ents = np.asarray(sorted(rng.choice(n_ents, size=n_anc, replace=False)))
             approx_per_budget[n_anc] = cur_project_test_scores(
-                train_scores, test_scores[:, anchor_ents], anchor_ents
+                train_scores, test_scores[:, anchor_ents], anchor_ents, rcond=rcond
             )
     elif method == "bienc":
         if bienc_scores is None:

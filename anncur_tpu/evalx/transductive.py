@@ -107,13 +107,14 @@ def run_approx_eval(
     top_k_retvr: int,
     n_seeds: int,
     precomp_approx: Optional[np.ndarray] = None,
+    rcond=None,
 ) -> Dict[str, Dict[str, float]]:
     """Average over seeds (reference: run_approx_eval, :162-200)."""
     acc: Dict[str, Dict[str, List[float]]] = defaultdict(lambda: defaultdict(list))
     for seed in range(n_seeds):
         res = run_approx_eval_w_seed(
             approx_method, exact, n_ment_anchors, n_ent_anchors, top_k, top_k_retvr,
-            seed, precomp_approx,
+            seed, precomp_approx, rcond=rcond,
         )
         for split, metrics in res.items():
             for metric, val in metrics.items():
@@ -170,6 +171,7 @@ def run_transductive_eval(
     ent_to_ent_data: Optional[Dict[int, Dict[str, np.ndarray]]] = None,
     misc: str = "",
     progress_cb=None,
+    rcond=None,  # pinv cutoff for cur methods: None | float | 'noise'
 ) -> Dict:
     """Full sweep, JSON schema parity with the reference
     (run, :203-399): eval_res[method][top_k=K][k_retvr=R][anc_n_m=M~anc_n_e=E]
@@ -263,6 +265,7 @@ def run_transductive_eval(
                 top_k_retvr=top_k_retvr,
                 n_seeds=n_seeds,
                 precomp_approx=precomp[n_ent_anchors],
+                rcond=rcond,
             )
 
     eval_res = json.loads(json.dumps(eval_res))  # defaultdict -> dict
