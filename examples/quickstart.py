@@ -4,8 +4,8 @@ in one script (runs on CPU or TPU; small model so it finishes fast).
     python examples/quickstart.py
 
 Stages: synthesize a world -> train a bi-encoder (in-batch negs) ->
-offline exact CE score matrix (mesh-sharded) -> CUR index -> online
-queries with rerank -> recall report vs brute force.
+train a cross-encoder -> offline exact CE score matrix (mesh-sharded)
+-> CUR index -> online queries with rerank -> recall vs brute force.
 """
 
 import os
@@ -57,9 +57,24 @@ def main():
     trainer.train(data, dev_data=None)
     print(f"bi-encoder trained in {time.time() - t0:.1f}s")
 
-    # 3. offline index: exact CE scores of train queries vs all items
+    # 3. train the cross-encoder (the expensive scorer worth indexing).
+    # NB a random-init CE would yield a rank-1-ish score matrix whose
+    # ranking structure sits at the device matmul noise floor — recall
+    # against it measures rounding, not the engine (see
+    # CurRetriever.build's rcond docs for that regime).
     ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
-    ce_params = ce.init(jax.random.PRNGKey(0))
+    ce_cfg = Config(
+        model_type="cross_enc", loss_type="ce", neg_strategy="random",
+        num_negs=4, num_epochs=40, train_batch_size=16, grad_acc_steps=1,
+        learning_rate=1e-3, base_res_dir="/tmp/anncur_quickstart_ce",
+    )
+    ce_trainer = Trainer(ce_cfg, ce, mesh=mesh, total_steps=120)
+    t0 = time.time()
+    ce_state = ce_trainer.train(data, dev_data=None)
+    ce_params = ce_state.params
+    print(f"cross-encoder trained in {time.time() - t0:.1f}s")
+
+    # 4. offline index: exact CE scores of train queries vs all items
     builder = ScoreMatrixBuilder(ce, mesh, ment_block=8, ent_block=8, pair_pad_multiple=64)
     retriever = CurRetriever.build(
         ce, ce_params, tokenizer,
@@ -69,7 +84,7 @@ def main():
     print(f"CUR index built: {len(retriever.anchor_item_ids)} anchor items, "
           f"latent {retriever.index.latent_cols.shape}")
 
-    # 4. online queries (unseen mentions) + recall vs brute force
+    # 5. online queries (unseen mentions) + recall vs brute force
     test = ment_toks[32:]
     scores, idx = retriever.query_tokens_batch(test, top_k=5, top_k_retvr=24)
     exact = builder(ce_params, test, ent_toks)
@@ -78,7 +93,7 @@ def main():
     print(f"top-5 recall vs exact CE ranking: {recall:.3f} "
           f"(cost {retriever.cost_per_query}+24 CE calls/query vs {data.n_ents} brute force)")
 
-    # 5. single text query
+    # 6. single text query
     res = retriever.query("alpha beta", context_left="gamma", top_k=3)
     print(f"text query -> {res}")
 
