@@ -1,0 +1,162 @@
+"""End-to-end drive: full flow through public APIs on cpu-mesh or tpu.
+
+    python tools/drive_e2e.py cpu   # 8-virtual-device mesh: sharding paths
+    python tools/drive_e2e.py tpu   # real chip: numerics + recall
+
+Used by the verify skill (.claude/skills/verify) each round; exits
+nonzero on any failed assertion.
+
+Covers the paths changed this session:
+  - default CE head (cls_only final layer, now also under train=True)
+  - w_embeds CE head (tag-position-only final layer)
+  - bi-encoder cls + spl_tkns pooling (selective final layer)
+  - one real Trainer step for both model types
+  - offline ScoreMatrixBuilder -> CurRetriever build -> fused batched
+    query -> exact rerank -> recall vs brute force (must be ~1.0 on a
+    low-rank world)
+"""
+import os
+import sys
+
+backend = sys.argv[1] if len(sys.argv) > 1 else "cpu"
+if backend == "cpu":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if backend == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+print(f"backend={backend} devices={len(jax.devices())} platform={jax.devices()[0].platform}")
+
+from anncur_tpu.config import Config
+from anncur_tpu.core.metrics import topk_overlap_frac
+from anncur_tpu.core.retriever import CurRetriever
+from anncur_tpu.data.synthetic import make_tokenized_world
+from anncur_tpu.indexer import ScoreMatrixBuilder
+from anncur_tpu.models.bert import BertSpec
+from anncur_tpu.models.biencoder import BiEncoder
+from anncur_tpu.models.crossencoder import CrossEncoder
+from anncur_tpu.parallel import make_mesh
+from anncur_tpu.train.data import EntLinkDataset, bienc_batches, crossenc_batches, mine_negatives
+from anncur_tpu.train.trainer import Trainer
+
+n_dev = len(jax.devices())
+mesh = make_mesh((n_dev,), ("data",))
+
+ment, ent, gt, tok = make_tokenized_world(
+    seed=0, n_ents=max(64, 8 * n_dev), n_ments=48, max_ment_len=24, max_ent_len=24
+)
+data = EntLinkDataset(ment, ent, gt)
+spec = BertSpec.tiny(vocab_size=tok.vocab_size)
+
+# ---- 1. one Trainer step per model type (exercises train-mode selective layer)
+for model_type, model in [
+    ("bi_enc", BiEncoder(spec=spec, pooling_type="cls", embed_dim=spec.hidden_size, compute_dtype=jnp.float32)),
+    ("bi_enc", BiEncoder(spec=spec, pooling_type="spl_tkns", embed_dim=spec.hidden_size, compute_dtype=jnp.float32)),
+    ("cross_enc", CrossEncoder(spec=spec, cross_enc_type="default", compute_dtype=jnp.float32)),
+    ("cross_enc", CrossEncoder(spec=spec, cross_enc_type="w_embeds", compute_dtype=jnp.float32)),
+]:
+    cfg = Config(model_type=model_type, loss_type="ce", num_negs=2,
+                 train_batch_size=2 * n_dev, grad_acc_steps=1,
+                 base_res_dir="/tmp/drive_r2_train")
+    tr = Trainer(cfg, model, mesh=mesh, total_steps=2)
+    st = tr.init_state()
+    step = tr.make_train_step()
+    negs = mine_negatives(data, "random", cfg.num_negs, seed=0)
+    gen = bienc_batches(data, negs, cfg.train_batch_size, shuffle=False) if model_type == "bi_enc" \
+        else crossenc_batches(data, negs, cfg.train_batch_size, shuffle=False)
+    batch = next(gen)
+    st, m = step(st, tr._shard_batch(batch))
+    loss = float(m["loss"])
+    variant = getattr(model, "cross_enc_type", None) or model.pooling_type
+    assert np.isfinite(loss), (model_type, variant, loss)
+    print(f"train step ok: {model_type}/{variant} loss={loss:.4f}")
+
+# ---- 2. offline build -> retriever -> fused query -> recall vs brute force
+# Train the CE briefly so the score matrix carries REAL ranking signal:
+# a random-init CE yields a rank-1-ish matrix whose entire signal sits at
+# the TPU matmul noise floor (measured sigma2/sigma1 = 0.003) — recall on
+# such a matrix measures cross-program rounding, not the product.
+ce = CrossEncoder(spec=spec, cross_enc_type="default", compute_dtype=jnp.float32)
+cfg = Config(model_type="cross_enc", loss_type="ce", num_negs=4,
+             train_batch_size=2 * n_dev, grad_acc_steps=1,
+             learning_rate=1e-3, num_epochs=40,
+             base_res_dir="/tmp/drive_r2_ce_train")
+tr = Trainer(cfg, ce, mesh=mesh, total_steps=120)
+st = tr.init_state()
+step = tr.make_train_step()
+negs = mine_negatives(data, "random", cfg.num_negs, seed=0)
+MAX_STEPS = 120  # fixed across backends so the matrix structure matches
+done = False
+for ep in range(1000):
+    for batch in crossenc_batches(data, negs, cfg.train_batch_size, shuffle=False):
+        st, m = step(st, tr._shard_batch(batch))
+        if int(st.step) >= MAX_STEPS:
+            done = True
+            break
+    if done:
+        break
+print(f"CE trained {int(st.step)} steps, final loss {float(m['loss']):.4f}")
+params = st.params
+builder = ScoreMatrixBuilder(ce, mesh, ment_block=4, ent_block=8, pair_pad_multiple=32)
+
+n_train = 24
+R_probe = np.asarray(builder(params, np.asarray(ment[:n_train]), np.asarray(ent)))
+sv = np.linalg.svd(R_probe, compute_uv=False)
+print(f"train-score spectrum: s2/s1={sv[1]/sv[0]:.4f} s5/s1={sv[4]/sv[0]:.4f} (need >> 1e-3 noise floor)")
+retr = CurRetriever.build(
+    encoder=ce, params=params, tokenizer=tok,
+    train_query_tokens=np.asarray(ment[:n_train]),
+    item_tokens=np.asarray(ent),
+    n_anchor_items=24,
+    builder=builder,
+    max_query_len=ment.shape[1],
+)
+# brute-force exact scores for the test queries
+test_q = np.asarray(ment[n_train:n_train + 8])
+exact = np.asarray(builder(params, test_q, ent))  # (8, n_ents)
+
+s16, i16 = retr.query_tokens_batch(test_q, top_k=5, top_k_retvr=16)
+scores, idx = retr.query_tokens_batch(test_q, top_k=5, top_k_retvr=32)
+exact_top = np.argsort(-exact, axis=1)[:, :5]
+rec16 = float(np.mean(np.asarray(topk_overlap_frac(exact_top, i16))))
+rec = float(np.mean(np.asarray(topk_overlap_frac(exact_top, idx))))
+print(f"retriever recall@5 (vs brute force): depth16 {rec16:.3f} / depth32 {rec:.3f}")
+# reranked scores must equal the exact scores at the returned indices
+got = np.take_along_axis(exact, idx, axis=1)
+np.testing.assert_allclose(scores, got, rtol=1e-4, atol=1e-4)
+print("rerank scores == exact CE scores at returned indices")
+# tie-robust recall: every returned item must score within tol of the
+# 5th-best exact score (a random-init CE yields near-tied scores; TPU
+# cross-program matmul rounding ~1e-4 legitimately flips exact ties,
+# while a real recall collapse would miss by whole score units)
+fifth = np.sort(exact, axis=1)[:, -5][:, None]
+spread = float(exact.std())
+margin = (got - fifth) / spread
+print(f"worst margin vs 5th-best (in score-std units): {margin.min():.5f}")
+assert margin.min() > -0.01, margin.min()
+if rec < 0.95:
+    assert margin.min() > -0.01, (rec, margin.min())
+
+# ---- 3. w_embeds head end-to-end consistency: score == dot(embed_paired)
+cew = CrossEncoder(spec=spec, cross_enc_type="w_embeds", compute_dtype=jnp.float32)
+pw = cew.init(jax.random.PRNGKey(2))
+from anncur_tpu.data.tokenization import create_input_label_pair
+
+pairs = np.stack([
+    create_input_label_pair(np.asarray(ment[i]), np.asarray(ent[i]))
+    for i in range(6)
+])
+s = np.asarray(cew.score(pw, jnp.asarray(pairs), first_segment_end=ment.shape[1]))
+me, ee = cew.embed_paired(pw, jnp.asarray(pairs), ment.shape[1])
+np.testing.assert_allclose(s, np.asarray(jnp.sum(me * ee, axis=-1)), atol=1e-4)
+print("w_embeds: score == dot(embed_paired) ok")
+
+print(f"DRIVE OK ({backend})")
