@@ -137,6 +137,7 @@ def build_cur(
     rcond: Optional[float] = None,
     validate: bool = True,
     pinv_impl: str = "auto",
+    return_u: bool = False,
 ) -> CurIndex:
     """Build a CUR index from anchor rows/cols of the score matrix.
 
@@ -214,13 +215,18 @@ def build_cur(
     else:
         raise ValueError(f"approx_preference={approx_preference!r} not in ('rows','cols')")
 
-    return CurIndex(
+    index = CurIndex(
         latent_rows=latent_rows,
         latent_cols=latent_cols,
         row_idxs=row_idxs,
         col_idxs=col_idxs,
         approx_preference=approx_preference,
     )
+    # ``return_u``: also hand back the pseudoinverse — callers that
+    # support incremental item addition need it (a new item's latent
+    # column is U @ r_new; U depends only on the anchor intersection,
+    # which new items never touch).
+    return (index, u) if return_u else index
 
 
 def save_cur_index(path: str, index: CurIndex) -> None:

@@ -60,6 +60,14 @@ class CurRetriever:
     # collectives — queries are embarrassingly parallel)
     mesh: Optional[object] = None
     mesh_axis: str = "data"
+    # dynamic-corpus support (populated by .build()): U = pinv(R[:, anc])
+    # and the anchor-query tokens let add_items extend the index without
+    # a rebuild — U depends only on the anchor intersection, which new
+    # items never touch, so incremental == full rebuild exactly.
+    train_query_tokens: Optional[np.ndarray] = None
+    u: Optional[np.ndarray] = None  # (k_c, k_q)
+    # position -> stable external item id (identity until remove_items)
+    item_ids: Optional[np.ndarray] = None
 
     @property
     def rerank_batch(self) -> int:  # back-compat alias used in tests
@@ -72,6 +80,13 @@ class CurRetriever:
     # constants (item tokens, anchor ids, latent factors): populated lazily
     def __post_init__(self):
         self._fused_cache: Dict[tuple, object] = {}
+        self._dev_consts = None
+        if self.item_ids is None:
+            self.item_ids = np.arange(self.item_tokens.shape[0], dtype=np.int64)
+
+    def _invalidate(self) -> None:
+        """Drop compiled programs + device constants after a corpus edit."""
+        self._fused_cache = {}
         self._dev_consts = None
 
     def _device_consts(self):
@@ -129,7 +144,7 @@ class CurRetriever:
         anchors = np.asarray(
             sorted(rng.choice(n_items, size=min(n_anchor_items, n_items), replace=False))
         )
-        index = build_cur(
+        index, u = build_cur(
             rows=train_scores,
             cols=train_scores[:, anchors],
             row_idxs=np.arange(train_scores.shape[0]),
@@ -137,6 +152,7 @@ class CurRetriever:
             approx_preference="rows",
             validate=False,
             rcond=rcond,
+            return_u=True,
         )
         return cls(
             encoder=encoder,
@@ -146,7 +162,82 @@ class CurRetriever:
             index=index,
             anchor_item_ids=anchors,
             max_query_len=max_query_len,
+            train_query_tokens=np.asarray(train_query_tokens),
+            u=np.asarray(u),
         )
+
+    # ---------------- dynamic corpus ----------------------------------- #
+
+    def add_items(self, new_item_tokens: np.ndarray, builder: ScoreMatrixBuilder) -> np.ndarray:
+        """Add items WITHOUT rebuilding the index: each new item costs
+        k_q CE calls (anchor queries vs the item) and one small matvec —
+        its latent column is ``U @ r_new``, and U depends only on the
+        anchor intersection, which new items never touch, so the result
+        is exactly what a full rebuild with the same anchors gives.
+
+        Returns the stable external ids assigned to the new items.
+        Compiled query programs are invalidated (the item-count changed,
+        so the next query pays one recompile — batch additions to
+        amortize)."""
+        if self.u is None or self.train_query_tokens is None:
+            raise ValueError(
+                "add_items requires a retriever created by CurRetriever.build "
+                "(it stores U and the anchor-query tokens)"
+            )
+        new_item_tokens = np.asarray(new_item_tokens, np.int32)
+        new_scores = builder(self.params, self.train_query_tokens, new_item_tokens)
+        # f64 host matmul: U can be ill-conditioned (its large entries
+        # cancel), so accumulate the new latent columns at f64 before
+        # casting — deterministic and at least as accurate as the f32
+        # device dot build_cur uses for the original columns.
+        new_latent = jnp.asarray(
+            (np.asarray(self.u, np.float64) @ np.asarray(new_scores, np.float64)).astype(
+                np.float32
+            )
+        )  # (k_c, n_new)
+        self.index = dataclasses.replace(
+            self.index,
+            latent_cols=jnp.concatenate([self.index.latent_cols, new_latent], axis=1),
+        )
+        self.item_tokens = np.concatenate([self.item_tokens, new_item_tokens], axis=0)
+        next_id = int(self.item_ids.max()) + 1 if len(self.item_ids) else 0
+        new_ids = np.arange(next_id, next_id + new_item_tokens.shape[0], dtype=np.int64)
+        self.item_ids = np.concatenate([self.item_ids, new_ids])
+        self._invalidate()
+        return new_ids
+
+    def remove_items(self, ids: np.ndarray) -> None:
+        """Remove items by stable external id. Anchor items cannot be
+        removed (their tokens feed the online anchor-scoring stage and
+        their columns define U) — rebuild with fresh anchors instead.
+        Queries never return removed ids afterwards; remaining items
+        keep their external ids."""
+        ids = np.asarray(ids)
+        pos_of = {int(e): p for p, e in enumerate(self.item_ids)}
+        missing = [int(i) for i in ids if int(i) not in pos_of]
+        if missing:
+            raise KeyError(f"unknown item ids: {missing[:5]}")
+        positions = np.asarray(sorted(pos_of[int(i)] for i in ids))
+        anchor_set = set(int(a) for a in np.asarray(self.anchor_item_ids))
+        hit = [int(p) for p in positions if int(p) in anchor_set]
+        if hit:
+            raise ValueError(
+                f"cannot remove anchor items (positions {hit[:5]}); "
+                "rebuild the index with new anchors instead"
+            )
+        keep = np.setdiff1d(np.arange(self.item_tokens.shape[0]), positions)
+        self.item_tokens = self.item_tokens[keep]
+        self.item_ids = self.item_ids[keep]
+        # anchor positions shift left past removed slots
+        old_anchor_pos = np.asarray(self.anchor_item_ids)
+        shift = np.searchsorted(positions, old_anchor_pos)
+        self.anchor_item_ids = old_anchor_pos - shift
+        self.index = dataclasses.replace(
+            self.index,
+            latent_cols=self.index.latent_cols[:, keep],
+            col_idxs=jnp.asarray(self.anchor_item_ids, jnp.int32),
+        )
+        self._invalidate()
 
     # ---------------- online query ------------------------------------ #
 
@@ -307,7 +398,9 @@ class CurRetriever:
         # global batch along the mesh data axis
         fn = self._get_fused_query_fn(q_pad // n_dev, chunk, lm, top_k, top_k_retvr, rerank)
         s, i = fn(self.params, jnp.asarray(qtoks), items, anchor_ids, latent_cols)
-        return np.asarray(s)[:q], np.asarray(i)[:q]
+        # positions -> stable external ids (identity unless items were
+        # removed; see remove_items)
+        return np.asarray(s)[:q], self.item_ids[np.asarray(i)[:q]]
 
     def query(
         self,
@@ -376,7 +469,7 @@ class CurRetriever:
             top_k=top_k,
             seed=seed,
         )
-        return scores, ids
+        return scores, self.item_ids[np.asarray(ids)]
 
     @property
     def cost_per_query(self) -> int:

@@ -106,3 +106,101 @@ def test_query_batch_mesh_sharded_matches_single(retriever_setup, mesh8):
     s4, i4 = sharded.query_tokens_batch(test_toks, top_k=5, top_k_retvr=20, rerank=False)
     np.testing.assert_array_equal(i3, i4)
     np.testing.assert_allclose(s3, s4, atol=1e-5)
+
+
+def test_add_items_equals_full_rebuild(mesh8):
+    """Incremental add_items must give EXACTLY the index a full rebuild
+    with the same anchors produces: U depends only on the anchor
+    intersection, which new items never touch."""
+    ment, ent, gt, tok = make_tokenized_world(
+        seed=11, n_ents=48, n_ments=20, max_ment_len=16, max_ent_len=16
+    )
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, max_position_embeddings=64)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(1))
+    builder = ScoreMatrixBuilder(ce, mesh8, ment_block=4, ent_block=8, pair_pad_multiple=32)
+
+    n0 = 32  # initial corpus; 16 items arrive later
+    retr = CurRetriever.build(
+        ce, params, tok, ment[:12], ent[:n0], n_anchor_items=10,
+        builder=builder, max_query_len=16, seed=3,
+    )
+    anchors = np.asarray(retr.anchor_item_ids)  # all < n0
+    latent_before = np.asarray(retr.index.latent_cols).copy()
+    u_before = np.asarray(retr.u, np.float64)
+    new_ids = retr.add_items(ent[n0:], builder)
+    assert list(new_ids) == list(range(n0, 48))
+    assert retr.item_tokens.shape[0] == 48
+
+    got_latent = np.asarray(retr.index.latent_cols)
+    # original columns are untouched bit-for-bit
+    np.testing.assert_array_equal(got_latent[:, :n0], latent_before)
+    # new columns equal the f64 math U @ r_new exactly (same computation)
+    full_scores = np.asarray(builder(params, ment[:12], ent))
+    want_new = (u_before @ full_scores[:, n0:].astype(np.float64)).astype(np.float32)
+    np.testing.assert_array_equal(got_latent[:, n0:], want_new)
+
+    # and a full rebuild with the SAME anchors agrees up to the f32
+    # cancellation bound of the (ill-conditioned, random-init-CE) U —
+    # identical inputs, different f32 accumulation order (the f64
+    # incremental path is the MORE accurate of the two)
+    from anncur_tpu.core.cur import build_cur
+
+    want = build_cur(
+        rows=full_scores, cols=full_scores[:, anchors],
+        row_idxs=np.arange(12), col_idxs=anchors,
+        approx_preference="rows", validate=False,
+    )
+    np.testing.assert_allclose(
+        got_latent, np.asarray(want.latent_cols), atol=2e-2,
+    )
+
+    # queries hit the new items when they are the true top scorers
+    s, i = retr.query_tokens_batch(ment[12:], top_k=5, top_k_retvr=20)
+    exact = full_scores_test = np.asarray(builder(params, ment[12:], ent))
+    got = np.take_along_axis(exact, i, axis=1)
+    np.testing.assert_allclose(s, got, rtol=1e-4, atol=1e-4)
+
+
+def test_remove_items_preserves_ids_and_excludes_removed(mesh8):
+    ment, ent, gt, tok = make_tokenized_world(
+        seed=12, n_ents=40, n_ments=16, max_ment_len=16, max_ent_len=16
+    )
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, max_position_embeddings=64)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(2))
+    builder = ScoreMatrixBuilder(ce, mesh8, ment_block=4, ent_block=8, pair_pad_multiple=32)
+    retr = CurRetriever.build(
+        ce, params, tok, ment[:10], ent, n_anchor_items=8,
+        builder=builder, max_query_len=16, seed=5,
+    )
+    anchors_before = np.asarray(retr.anchor_item_ids).copy()
+    anchor_toks_before = retr.item_tokens[anchors_before].copy()
+    latent_before = np.asarray(retr.index.latent_cols).copy()
+    ids_before = retr.item_ids.copy()
+
+    # pick 6 non-anchor ids to remove
+    non_anchor = [int(i) for i in ids_before if int(i) not in set(int(a) for a in anchors_before)]
+    removed = non_anchor[:6]
+    retr.remove_items(removed)
+
+    assert retr.item_tokens.shape[0] == 34
+    # anchor tokens still reachable at the REMAPPED positions
+    np.testing.assert_array_equal(retr.item_tokens[retr.anchor_item_ids], anchor_toks_before)
+    # latent columns of surviving items are untouched (just compacted)
+    keep_pos = [p for p, e in enumerate(ids_before) if int(e) not in set(removed)]
+    np.testing.assert_array_equal(np.asarray(retr.index.latent_cols), latent_before[:, keep_pos])
+
+    s, i = retr.query_tokens_batch(ment[10:], top_k=5, top_k_retvr=15)
+    assert not (set(np.asarray(i).ravel().tolist()) & set(removed)), "removed ids returned"
+    # returned ids are stable external ids; their scores are the true CE
+    # scores for those ORIGINAL items
+    exact_all = np.asarray(builder(params, ment[10:], ent))  # original corpus
+    got = np.take_along_axis(exact_all, i, axis=1)  # index by external id
+    np.testing.assert_allclose(s, got, rtol=1e-4, atol=1e-4)
+
+    # guards
+    with pytest.raises(ValueError, match="anchor"):
+        retr.remove_items([int(retr.item_ids[retr.anchor_item_ids[0]])])
+    with pytest.raises(KeyError):
+        retr.remove_items([removed[0]])  # already gone
