@@ -28,8 +28,8 @@ LOGGER = logging.getLogger("anncur_tpu.serve")
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--index", required=True, help="CUR index pickle (save_cur_index)")
-    p.add_argument("--ent_tokens_file", required=True)
+    p.add_argument("--index", required=True, help="CurRetriever.save state file or bare save_cur_index pickle")
+    p.add_argument("--ent_tokens_file", default="", help="entity-token .npy (not needed with a CurRetriever.save state file)")
     p.add_argument("--vocab_file", required=True)
     p.add_argument("--crossenc_ckpt", default="")
     p.add_argument("--cross_enc_type", default="default")
@@ -48,8 +48,6 @@ def main(argv=None):
     import jax
 
     tokenizer = WordPieceTokenizer.from_vocab_file(args.vocab_file)
-    ent_toks = np.load(args.ent_tokens_file).astype(np.int32)
-    index = load_cur_index(args.index)
     spec = BertSpec(
         vocab_size=tokenizer.vocab_size,
         hidden_size=args.hidden_size,
@@ -65,18 +63,34 @@ def main(argv=None):
         LOGGER.warning("no --crossenc_ckpt: random cross-encoder")
         params = ce.init(jax.random.PRNGKey(args.seed))
 
-    retriever = CurRetriever(
-        encoder=ce,
-        params=params,
-        tokenizer=tokenizer,
-        item_tokens=ent_toks,
-        index=index,
-        anchor_item_ids=np.asarray(index.col_idxs),
-        max_query_len=args.max_query_len,
-    )
+    # two on-disk formats: a full retriever state file (CurRetriever.save
+    # — carries item tokens, stable ids, and the dynamic-corpus factors)
+    # or a bare CurIndex pickle + a separate entity-token .npy
+    import pickle
+
+    with open(args.index, "rb") as fin:
+        blob = pickle.load(fin)
+    if isinstance(blob, dict) and "item_tokens" in blob:
+        retriever = CurRetriever.load(args.index, ce, params, tokenizer)
+        retriever.max_query_len = args.max_query_len
+    else:
+        if not args.ent_tokens_file:
+            raise SystemExit("bare CurIndex pickles need --ent_tokens_file")
+        ent_toks = np.load(args.ent_tokens_file).astype(np.int32)
+        index = load_cur_index(args.index)
+        retriever = CurRetriever(
+            encoder=ce,
+            params=params,
+            tokenizer=tokenizer,
+            item_tokens=ent_toks,
+            index=index,
+            anchor_item_ids=np.asarray(index.col_idxs),
+            max_query_len=args.max_query_len,
+        )
     LOGGER.info(
         "serving: %d items, %d anchor items, cost/query = %d + top_k_retvr CE calls",
-        ent_toks.shape[0], len(retriever.anchor_item_ids), retriever.cost_per_query,
+        retriever.item_tokens.shape[0], len(retriever.anchor_item_ids),
+        retriever.cost_per_query,
     )
 
     fin = sys.stdin if args.queries == "-" else open(args.queries)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -238,6 +239,74 @@ class CurRetriever:
             col_idxs=jnp.asarray(self.anchor_item_ids, jnp.int32),
         )
         self._invalidate()
+
+    # ---------------- persistence -------------------------------------- #
+
+    def save(self, path: str) -> None:
+        """Persist the full serving state (index, anchors, U, anchor-query
+        tokens, item tokens, stable ids) so a restarted process can keep
+        serving AND keep calling add_items/remove_items. Encoder params
+        and the tokenizer are saved separately (train/checkpoint.py,
+        vocab file) — they are model artifacts, not index state."""
+        import pickle
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as fout:
+            pickle.dump(
+                {
+                    "latent_rows": np.asarray(self.index.latent_rows),
+                    "latent_cols": np.asarray(self.index.latent_cols),
+                    "row_idxs": np.asarray(self.index.row_idxs),
+                    "col_idxs": np.asarray(self.index.col_idxs),
+                    "approx_preference": self.index.approx_preference,
+                    "anchor_item_ids": np.asarray(self.anchor_item_ids),
+                    "item_tokens": np.asarray(self.item_tokens),
+                    "item_ids": np.asarray(self.item_ids),
+                    "u": None if self.u is None else np.asarray(self.u),
+                    "train_query_tokens": None
+                    if self.train_query_tokens is None
+                    else np.asarray(self.train_query_tokens),
+                    "max_query_len": self.max_query_len,
+                    "format_version": 1,
+                },
+                fout,
+            )
+
+    @classmethod
+    def load(
+        cls,
+        path: str,
+        encoder: CrossEncoder,
+        params: Dict,
+        tokenizer: WordPieceTokenizer,
+        **kw,
+    ) -> "CurRetriever":
+        """Inverse of save(); pass the encoder/params/tokenizer the index
+        was built with (extra kwargs override serving knobs, e.g. mesh)."""
+        import pickle
+
+        with open(path, "rb") as fin:
+            d = pickle.load(fin)
+        index = CurIndex(
+            latent_rows=jnp.asarray(d["latent_rows"]),
+            latent_cols=jnp.asarray(d["latent_cols"]),
+            row_idxs=jnp.asarray(d["row_idxs"]),
+            col_idxs=jnp.asarray(d["col_idxs"]),
+            approx_preference=d["approx_preference"],
+        )
+        return cls(
+            encoder=encoder,
+            params=params,
+            tokenizer=tokenizer,
+            item_tokens=np.asarray(d["item_tokens"]),
+            index=index,
+            anchor_item_ids=np.asarray(d["anchor_item_ids"]),
+            max_query_len=int(d["max_query_len"]),
+            train_query_tokens=d["train_query_tokens"],
+            u=d["u"],
+            item_ids=np.asarray(d["item_ids"]),
+            **kw,
+        )
 
     # ---------------- online query ------------------------------------ #
 

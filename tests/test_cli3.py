@@ -173,3 +173,60 @@ def test_combine_chunks_gap_detection(tmp_path):
     np.savez_compressed(os.path.join(d, "chunk_8.npz"), scores=np.ones((4, 6)), row_start=8)
     with pytest.raises(ValueError, match="gap"):
         combine_chunks(d)
+
+
+def test_serve_cli_retriever_state_file(tmp_path):
+    """serve CLI with a CurRetriever.save state file (no separate
+    entity-token .npy needed; stable ids survive)."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anncur_tpu.cli import serve
+    from anncur_tpu.core.cur import build_cur
+    from anncur_tpu.core.retriever import CurRetriever
+    from anncur_tpu.data.synthetic import make_tokenized_world
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.crossencoder import CrossEncoder
+    from anncur_tpu.train.checkpoint import save_pytree
+
+    ment, ent, gt, tok = make_tokenized_world(seed=14, n_ents=20, n_ments=10,
+                                              max_ment_len=16, max_ent_len=16)
+    vocab = str(tmp_path / "vocab.txt")
+    tok.save_vocab(vocab)
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1,
+                         num_heads=2, intermediate_size=64)  # 128 positions:
+    # serve pads pairs to pair_pad_multiple (128), so the position table
+    # must cover 128 rows
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(4))
+    ckpt = str(tmp_path / "ce.pkl")
+    save_pytree(ckpt, {"params": params})
+
+    rng = np.random.default_rng(0)
+    train_scores = rng.standard_normal((6, 20)).astype(np.float32)
+    anchors = np.arange(0, 20, 4)
+    index = build_cur(train_scores, train_scores[:, anchors], np.arange(6), anchors,
+                      validate=False)
+    retr = CurRetriever(
+        encoder=ce, params=params, tokenizer=tok, item_tokens=np.asarray(ent),
+        index=index, anchor_item_ids=anchors, max_query_len=16,
+    )
+    state = str(tmp_path / "retr_state.pkl")
+    retr.save(state)
+
+    qfile = str(tmp_path / "queries.jsonl")
+    with open(qfile, "w") as fout:
+        fout.write(_json.dumps({"mention": "alpha beta"}) + "\n")
+    out = str(tmp_path / "out.jsonl")
+    serve.main(
+        ["--index", state, "--vocab_file", vocab, "--crossenc_ckpt", ckpt,
+         "--queries", qfile, "--out", out, "--top_k", "3", "--top_k_retvr", "8",
+         "--max_query_len", "16",
+         "--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
+         "--intermediate_size", "64"]
+    )
+    lines = [_json.loads(l) for l in open(out)]
+    assert len(lines) == 1 and len(lines[0]["results"]) == 3

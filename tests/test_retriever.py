@@ -204,3 +204,36 @@ def test_remove_items_preserves_ids_and_excludes_removed(mesh8):
         retr.remove_items([int(retr.item_ids[retr.anchor_item_ids[0]])])
     with pytest.raises(KeyError):
         retr.remove_items([removed[0]])  # already gone
+
+
+def test_save_load_roundtrip_preserves_dynamic_state(tmp_path, mesh8):
+    """A restarted process must serve identical results AND still be
+    able to add/remove items (U + anchor-query tokens survive)."""
+    ment, ent, gt, tok = make_tokenized_world(
+        seed=13, n_ents=40, n_ments=16, max_ment_len=16, max_ent_len=16
+    )
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, max_position_embeddings=64)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(3))
+    builder = ScoreMatrixBuilder(ce, mesh8, ment_block=4, ent_block=8, pair_pad_multiple=32)
+    retr = CurRetriever.build(
+        ce, params, tok, ment[:10], ent[:32], n_anchor_items=8,
+        builder=builder, max_query_len=16, seed=7,
+    )
+    s0, i0 = retr.query_tokens_batch(ment[10:], top_k=5, top_k_retvr=15)
+
+    path = str(tmp_path / "retr.pkl")
+    retr.save(path)
+    retr2 = CurRetriever.load(path, ce, params, tok)
+    s1, i1 = retr2.query_tokens_batch(ment[10:], top_k=5, top_k_retvr=15)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+    # dynamic ops still work after reload
+    new_ids = retr2.add_items(ent[32:], builder)
+    assert len(new_ids) == 8
+    non_anchor = [int(i) for i in retr2.item_ids
+                  if int(i) not in set(int(a) for a in retr2.anchor_item_ids)][:2]
+    retr2.remove_items(non_anchor)
+    s2, i2 = retr2.query_tokens_batch(ment[10:], top_k=5, top_k_retvr=15)
+    assert not (set(np.asarray(i2).ravel().tolist()) & set(non_anchor))
