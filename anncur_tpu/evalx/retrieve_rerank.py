@@ -28,22 +28,32 @@ from anncur_tpu.parallel.mesh import Mesh
 LOGGER = logging.getLogger(__name__)
 
 
+@functools.lru_cache(maxsize=64)
+def _embed_fn(encoder: BiEncoder, which: str):
+    """Jitted encode fn cached per (encoder, which): ``jax.jit(bound
+    method)`` builds a FRESH wrapper every call (bound methods are new
+    objects), which retraced the tower on every embed_tokenized call —
+    measured 654 seqs/s where the forward sustains ~4600 on v5e."""
+    f = encoder.encode_input if which == "input" else encoder.encode_label
+    return jax.jit(f)
+
+
 def embed_tokenized(
     encoder: BiEncoder, params, tokens: np.ndarray, batch_size: int = 64, which: str = "label"
 ) -> np.ndarray:
     """Batched no-grad embedding (reference:
-    eval/eval_utils.py:59-92), fixed batch shapes (last batch padded)."""
+    eval/eval_utils.py:59-92), fixed batch shapes (last batch padded).
+    Batches are dispatched asynchronously (one host sync at the end) so
+    remote-link round trips overlap with device compute."""
     n = tokens.shape[0]
-    fn = jax.jit(
-        encoder.encode_input if which == "input" else encoder.encode_label
-    )
-    out = []
+    fn = _embed_fn(encoder, which)
+    pending = []
     for i in range(0, n, batch_size):
         block = np.zeros((batch_size, tokens.shape[1]), tokens.dtype)
         take = min(batch_size, n - i)
         block[:take] = tokens[i : i + take]
-        out.append(np.asarray(fn(params, jnp.asarray(block)))[:take])
-    return np.concatenate(out, axis=0)
+        pending.append((fn(params, jnp.asarray(block)), take))
+    return np.concatenate([np.asarray(o)[:take] for o, take in pending], axis=0)
 
 
 def crossenc_rerank_scores(

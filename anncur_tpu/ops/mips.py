@@ -78,6 +78,16 @@ def mips_topk_sharded(
     shard = n_items // n_dev
     if n_valid is None:
         n_valid = n_items
+    fn = _sharded_fn(mesh, axis, k, shard, n_valid)
+    return fn(queries, items)
+
+
+@functools.lru_cache(maxsize=256)
+def _sharded_fn(mesh: Mesh, axis: str, k: int, shard: int, n_valid: int):
+    """Jitted shard_map program cached per (mesh, axis, k, shard,
+    n_valid): building it inline re-jitted a fresh closure on every
+    mips_topk_sharded call (retrace per call; shape-level compile cache
+    never hit)."""
 
     def local_fn(q, it):
         my_idx = lax.axis_index(axis)
@@ -95,14 +105,15 @@ def mips_topk_sharded(
         i_fin = jnp.take_along_axis(i_all, j, axis=1)
         return s_fin, i_fin
 
-    fn = shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(), P(axis)),
-        out_specs=(P(), P()),
-        check_vma=False,
+    return jax.jit(
+        shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
     )
-    return jax.jit(fn)(queries, items)
 
 
 def pad_items(items: jax.Array, multiple: int) -> Tuple[jax.Array, int]:

@@ -235,3 +235,20 @@ def test_from_precomputed_preds_matches_live_eval(world_dir, tmp_path):
     for method in ("bienc", "crossenc"):
         for metric, val in live[method].items():
             assert abs(float(rescored[method][metric]) - float(val)) < 1e-6, (method, metric)
+
+
+def test_embed_fn_is_cached_across_calls():
+    """jax.jit(bound method) builds a fresh wrapper per call (bound
+    methods are new objects) — the jitted encode fn must be cached per
+    (encoder, which) or every embed_tokenized call retraces the tower
+    (measured 654 vs 3789 seqs/s on v5e)."""
+    import jax.numpy as jnp
+
+    from anncur_tpu.evalx.retrieve_rerank import _embed_fn
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.biencoder import BiEncoder
+
+    enc = BiEncoder(spec=BertSpec.tiny(), pooling_type="cls",
+                    embed_dim=BertSpec.tiny().hidden_size, compute_dtype=jnp.float32)
+    assert _embed_fn(enc, "label") is _embed_fn(enc, "label")
+    assert _embed_fn(enc, "label") is not _embed_fn(enc, "input")

@@ -52,3 +52,12 @@ def test_sharded_with_padding(mesh8, rng):
     np.testing.assert_allclose(np.asarray(s8), ws, rtol=1e-4, atol=1e-4)
     assert np.all(np.asarray(i8) < 100)
     np.testing.assert_array_equal(np.asarray(i8), wi)
+
+
+def test_sharded_fn_is_cached_across_calls(mesh8):
+    """Rebuilding the jitted shard_map program per call forces a retrace
+    every call; the factory must return the same object for same args."""
+    from anncur_tpu.ops.mips import _sharded_fn
+
+    assert _sharded_fn(mesh8, "data", 5, 8, 64) is _sharded_fn(mesh8, "data", 5, 8, 64)
+    assert _sharded_fn(mesh8, "data", 5, 8, 64) is not _sharded_fn(mesh8, "data", 5, 8, 63)
