@@ -85,7 +85,20 @@ def crossenc_rerank_scores(
     cidx[:n_m] = cand_idx
     n_chunks = n_pad // bm
 
-    @functools.partial(jax.jit, static_argnames=())
+    run = _rerank_scan_fn(ce, bm, k, lm, le, pair_len, n_chunks)
+    out = np.asarray(
+        run(ce_params, jnp.asarray(ments), jnp.asarray(cidx), jnp.asarray(ent_tokens))
+    )
+    return out[:n_m]
+
+
+@functools.lru_cache(maxsize=256)
+def _rerank_scan_fn(ce: CrossEncoder, bm: int, k: int, lm: int, le: int, pair_len: int, n_chunks: int):
+    """Jitted rerank scan cached per (encoder, shapes): defining it
+    inline re-jitted a fresh closure on every crossenc_rerank_scores
+    call, retracing the whole BERT scan each time (same bug class as
+    _embed_fn — jit caches by function identity)."""
+
     def run(p, ments_d, cidx_d, ents_d):
         def body(_, inp):
             m_blk, c_blk = inp  # (bm, Lm), (bm, k)
@@ -102,12 +115,9 @@ def crossenc_rerank_scores(
             None,
             (ments_d.reshape(n_chunks, bm, lm), cidx_d.reshape(n_chunks, bm, k)),
         )
-        return scores.reshape(n_pad, k)
+        return scores.reshape(n_chunks * bm, k)
 
-    out = np.asarray(
-        run(ce_params, jnp.asarray(ments), jnp.asarray(cidx), jnp.asarray(ent_tokens))
-    )
-    return out[:n_m]
+    return jax.jit(run)
 
 
 def run_retrieve_rerank_eval(
