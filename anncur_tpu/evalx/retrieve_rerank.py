@@ -62,16 +62,22 @@ def crossenc_rerank_scores(
     ment_tokens: np.ndarray,  # (n_m, Lm)
     ent_tokens: np.ndarray,  # (n_e, Le)
     cand_idx: np.ndarray,  # (n_m, k) candidate entity ids per mention
-    batch_ments: int = 4,
+    batch_ments: Optional[int] = None,
     pair_pad_multiple: int = 128,
 ) -> np.ndarray:
     """Exact CE scores for each mention's candidate set, (n_m, k).
 
     One jit program: ``lax.scan`` over mention chunks with the candidate
     token gather on device — a single host round trip regardless of
-    n_m (the per-chunk python loop paid one link round trip each)."""
+    n_m (the per-chunk python loop paid one link round trip each).
+
+    ``batch_ments``: mentions per scan step; default sizes each step to
+    ~4096 pairs (the measured MXU sweet spot on v5e — a fixed 4 gave
+    256-pair steps at top-64 and halved rerank throughput)."""
     n_m, lm = ment_tokens.shape
     k = cand_idx.shape[1]
+    if batch_ments is None:
+        batch_ments = max(1, 4096 // max(1, k))
     le = ent_tokens.shape[1]
     pair_len = lm + le - 1
     pad = min(pair_pad_multiple, ce.spec.max_position_embeddings)
