@@ -61,9 +61,15 @@ class DenseIndex:
             self._padded, self._n_valid = None, self.n
 
     def add(self, embeds: np.ndarray) -> None:
-        """Append items (FAISS .add parity). Rebuilds device placement."""
+        """Append items (FAISS .add parity). Rebuilds device placement
+        and, for a quantized index, re-quantizes so searches see the new
+        items (scales are per-item, so this is a cheap rebuild)."""
         self.embeds = jnp.concatenate([self.embeds, jnp.asarray(embeds, jnp.float32)])
         self.n = self.embeds.shape[0]
+        if self.quantized is not None:
+            from anncur_tpu.ops.quantized import quantize_items
+
+            self.quantized = quantize_items(self.embeds)
         if self.mesh is not None and self.mesh.devices.size > 1:
             self._padded, self._n_valid = pad_items(self.embeds, self.mesh.devices.size)
 

@@ -50,3 +50,21 @@ def test_dense_index_quantized(rng):
     s2, i2 = idx_q.search(q, 10)
     overlap = float(np.asarray(topk_overlap_frac(jnp.asarray(i2), jnp.asarray(i1))).mean())
     assert overlap > 0.9
+
+
+def test_dense_index_add_updates_quantized_store():
+    """add() on a quantized index must re-quantize: searches previously
+    missed appended items silently."""
+    import numpy as np
+
+    from anncur_tpu.ops.dense_index import DenseIndex
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((64, 32)).astype(np.float32)
+    idx = DenseIndex(base, quantize=True)
+    # a new item that dominates every query direction
+    strong = np.ones((1, 32), np.float32) * 10.0
+    idx.add(strong)
+    q = np.ones((3, 32), np.float32)
+    s, i = idx.search(q, k=1)
+    assert (i == 64).all(), i
