@@ -37,7 +37,8 @@ def main(argv=None):
     p.add_argument("--out", default="-", help="output JSONL ('-' = stdout)")
     p.add_argument("--top_k", type=int, default=10)
     p.add_argument("--top_k_retvr", type=int, default=100)
-    p.add_argument("--max_query_len", type=int, default=128)
+    p.add_argument("--max_query_len", type=int, default=None,
+                   help="default: the state file's saved value, else 128")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hidden_size", type=int, default=768)
     p.add_argument("--num_layers", type=int, default=12)
@@ -71,8 +72,11 @@ def main(argv=None):
     with open(args.index, "rb") as fin:
         blob = pickle.load(fin)
     if isinstance(blob, dict) and "item_tokens" in blob:
-        retriever = CurRetriever.load(args.index, ce, params, tokenizer)
-        retriever.max_query_len = args.max_query_len
+        retriever = CurRetriever.from_state_dict(blob, ce, params, tokenizer)
+        if args.max_query_len is not None:
+            # only an EXPLICIT flag overrides the persisted value — the
+            # index was built for a specific query-length regime
+            retriever.max_query_len = args.max_query_len
     else:
         if not args.ent_tokens_file:
             raise SystemExit("bare CurIndex pickles need --ent_tokens_file")
@@ -85,7 +89,7 @@ def main(argv=None):
             item_tokens=ent_toks,
             index=index,
             anchor_item_ids=np.asarray(index.col_idxs),
-            max_query_len=args.max_query_len,
+            max_query_len=args.max_query_len if args.max_query_len is not None else 128,
         )
     LOGGER.info(
         "serving: %d items, %d anchor items, cost/query = %d + top_k_retvr CE calls",

@@ -186,13 +186,16 @@ def build_cur(
             raise ValueError("rcond='noise' needs concrete inputs (host SVD)")
         from anncur_tpu.ops.pinv import noise_rcond
 
-        # threshold estimated on the matrix actually inverted below
-        target = cols if full_matrix is not None else cols[row_idxs, :]
-        rcond = noise_rcond(np.asarray(target))
+        # per-inversion threshold: the oracle branch inverts BOTH cols
+        # and rows, whose aspect ratios and spectra differ — one shared
+        # cutoff would be wrong for the other matrix
+        _rcond = lambda m: noise_rcond(np.asarray(m))  # noqa: E731
+    else:
+        _rcond = lambda m: rcond  # noqa: E731
     if pinv_impl == "f64_host":
-        _pinv = lambda m: jnp.asarray(pinv_f64(m, rcond), jnp.float32)  # noqa: E731
+        _pinv = lambda m: jnp.asarray(pinv_f64(m, _rcond(m)), jnp.float32)  # noqa: E731
     elif pinv_impl == "f32":
-        _pinv = lambda m: pinv(m, rcond)  # noqa: E731
+        _pinv = lambda m: pinv(m, _rcond(m))  # noqa: E731
     else:
         raise ValueError(f"pinv_impl={pinv_impl!r} not in ('auto','f32','f64_host')")
 

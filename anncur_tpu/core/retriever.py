@@ -69,6 +69,10 @@ class CurRetriever:
     u: Optional[np.ndarray] = None  # (k_c, k_q)
     # position -> stable external item id (identity until remove_items)
     item_ids: Optional[np.ndarray] = None
+    # monotonic id allocator: NEVER derived from max(item_ids) — if the
+    # max-id item were removed, a later add would resurrect its id and
+    # break the stable-id contract ("queries never return removed ids")
+    next_item_id: Optional[int] = None
 
     @property
     def rerank_batch(self) -> int:  # back-compat alias used in tests
@@ -84,6 +88,8 @@ class CurRetriever:
         self._dev_consts = None
         if self.item_ids is None:
             self.item_ids = np.arange(self.item_tokens.shape[0], dtype=np.int64)
+        if self.next_item_id is None:
+            self.next_item_id = int(self.item_ids.max()) + 1 if len(self.item_ids) else 0
 
     def _invalidate(self) -> None:
         """Drop compiled programs + device constants after a corpus edit."""
@@ -201,8 +207,10 @@ class CurRetriever:
             latent_cols=jnp.concatenate([self.index.latent_cols, new_latent], axis=1),
         )
         self.item_tokens = np.concatenate([self.item_tokens, new_item_tokens], axis=0)
-        next_id = int(self.item_ids.max()) + 1 if len(self.item_ids) else 0
-        new_ids = np.arange(next_id, next_id + new_item_tokens.shape[0], dtype=np.int64)
+        new_ids = np.arange(
+            self.next_item_id, self.next_item_id + new_item_tokens.shape[0], dtype=np.int64
+        )
+        self.next_item_id = int(new_ids[-1]) + 1 if len(new_ids) else self.next_item_id
         self.item_ids = np.concatenate([self.item_ids, new_ids])
         self._invalidate()
         return new_ids
@@ -267,6 +275,7 @@ class CurRetriever:
                     if self.train_query_tokens is None
                     else np.asarray(self.train_query_tokens),
                     "max_query_len": self.max_query_len,
+                    "next_item_id": int(self.next_item_id),
                     "format_version": 1,
                 },
                 fout,
@@ -287,6 +296,20 @@ class CurRetriever:
 
         with open(path, "rb") as fin:
             d = pickle.load(fin)
+        return cls.from_state_dict(d, encoder, params, tokenizer, **kw)
+
+    @classmethod
+    def from_state_dict(
+        cls,
+        d: Dict,
+        encoder: CrossEncoder,
+        params: Dict,
+        tokenizer: WordPieceTokenizer,
+        **kw,
+    ) -> "CurRetriever":
+        """Build from an already-unpickled save() dict (state files can
+        carry hundreds of MB of item tokens — callers that had to sniff
+        the format should not deserialize twice)."""
         index = CurIndex(
             latent_rows=jnp.asarray(d["latent_rows"]),
             latent_cols=jnp.asarray(d["latent_cols"]),
@@ -305,6 +328,7 @@ class CurRetriever:
             train_query_tokens=d["train_query_tokens"],
             u=d["u"],
             item_ids=np.asarray(d["item_ids"]),
+            next_item_id=d.get("next_item_id"),
             **kw,
         )
 

@@ -237,3 +237,27 @@ def test_save_load_roundtrip_preserves_dynamic_state(tmp_path, mesh8):
     retr2.remove_items(non_anchor)
     s2, i2 = retr2.query_tokens_batch(ment[10:], top_k=5, top_k_retvr=15)
     assert not (set(np.asarray(i2).ravel().tolist()) & set(non_anchor))
+
+
+def test_removed_max_id_is_never_reused(mesh8):
+    """Removing the max-id item then adding a new one must NOT resurrect
+    the removed id (stable-id contract); the counter also survives
+    save/load."""
+    ment, ent, gt, tok = make_tokenized_world(
+        seed=15, n_ents=24, n_ments=12, max_ment_len=16, max_ent_len=16
+    )
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, max_position_embeddings=64)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(5))
+    builder = ScoreMatrixBuilder(ce, mesh8, ment_block=4, ent_block=8, pair_pad_multiple=32)
+    retr = CurRetriever.build(
+        ce, params, tok, ment[:8], ent[:20], n_anchor_items=6,
+        builder=builder, max_query_len=16, seed=9,
+    )
+    max_id = int(retr.item_ids.max())
+    if max_id in set(int(a) for a in retr.anchor_item_ids):
+        pytest.skip("max-id item happens to be an anchor with this seed")
+    retr.remove_items([max_id])
+    new_ids = retr.add_items(ent[20:22], builder)
+    assert max_id not in set(new_ids.tolist())
+    assert new_ids.min() > max_id
