@@ -8,7 +8,11 @@ from __future__ import annotations
 import argparse
 import logging
 
-from anncur_tpu.indexer.combine import combine_pickles, combine_topk_preds
+from anncur_tpu.indexer.combine import (
+    combine_pickles,
+    combine_rr_chunk_dirs,
+    combine_topk_preds,
+)
 
 
 def main(argv=None):
@@ -16,12 +20,15 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
         "--mode",
-        choices=["pickles", "topk_preds"],
+        choices=["pickles", "topk_preds", "rr_dirs"],
         default="pickles",
         help="pickles: score-matrix chunks; topk_preds: "
-        "crossenc_topk_preds_w_bienc_retrvr.txt-style JSON chunks",
+        "crossenc_topk_preds_w_bienc_retrvr.txt-style JSON chunks; "
+        "rr_dirs: whole retrieve-rerank result dirs (merges both pred "
+        "files AND gt_labels.txt so --from_precomputed re-scoring works "
+        "on the output)",
     )
-    p.add_argument("--chunks", nargs="+", required=True, help="chunk files in mention order")
+    p.add_argument("--chunks", nargs="+", required=True, help="chunk files/dirs in mention order")
     p.add_argument("--out", required=True)
     p.add_argument("--overwrite", action="store_true")
     p.add_argument(
@@ -33,6 +40,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.mode == "pickles":
         combine_pickles(args.chunks, args.out, overwrite=args.overwrite)
+    elif args.mode == "rr_dirs":
+        combine_rr_chunk_dirs(args.chunks, args.out, overwrite=args.overwrite)
     else:
         combine_topk_preds(
             args.chunks,

@@ -88,14 +88,31 @@ def main(argv=None):
     if not args.no_rq_pivots:
         # generic per-RQ pivots (reference process_res_for_rq,
         # compile_...py:219-277) + RQ5/RQ6 CE-only-baseline plots
-        per_method = {}
+        # collect ALL seeds per method and average numeric leaves —
+        # keeping only the last-seen seed silently reported single-seed
+        # numbers for a multi-seed sweep (the reference pipeline
+        # seed-averages before compiling)
+        per_method_seeds = {}
         for d in method_dirs:
             path = os.path.join(d, "res.json")
             if not os.path.exists(path):
                 continue
             method = os.path.basename(d).split("=", 1)[1].split("_s=")[0]
             with open(path) as fin:
-                per_method[method] = json.load(fin)
+                per_method_seeds.setdefault(method, []).append(json.load(fin))
+
+        def _avg_trees(trees):
+            if isinstance(trees[0], dict):
+                return {
+                    k: _avg_trees([t[k] for t in trees if k in t])
+                    for k in trees[0]
+                }
+            try:
+                return float(sum(float(t) for t in trees) / len(trees))
+            except (TypeError, ValueError):
+                return trees[0]
+
+        per_method = {m: _avg_trees(ts) for m, ts in per_method_seeds.items()}
         if per_method:
             csvs_by_rq = compile_rqs(per_method, args.nm_train, args.out_dir)
             rq_x = {

@@ -398,7 +398,12 @@ class CurRetriever:
         n_r_chunks = q_pad // r_chunk
 
         def score_pairs(p, m_blk, cand_toks, c, width):
-            """(c, width, Le) candidate tokens -> (c, width) CE scores."""
+            """(c, width, Le) candidate tokens -> (c, width) CE scores.
+
+            NB: pair layout (broadcast-left / concat cand[:, :, 1:] /
+            pad-to-pair_len) must stay in lockstep with the offline
+            builder and evalx.retrieve_rerank._rerank_scan_fn — a layout
+            change made in one place silently diverges the others."""
             left = jnp.broadcast_to(m_blk[:, None, :], (c, width, lm))
             pairs = jnp.concatenate([left, cand_toks[:, :, 1:]], axis=-1).reshape(
                 c * width, raw_len

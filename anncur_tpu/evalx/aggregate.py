@@ -324,9 +324,20 @@ def compile_rqs(
     """End-to-end RQ compilation from per-method inductive result trees:
     flatten -> pivot per RQ -> processed_res.json + pivot CSVs
     (reference: run, compile_...py:358-505)."""
-    combined, all_param_vals = combined_res_from_inductive(per_method, nm_train, metric)
+    # flatten once per distinct val_type used by the RQ specs — a spec
+    # with a custom val_type would otherwise KeyError against cells
+    # stored under the default label
+    specs = rqs or RQ_DEFINITIONS
+    combined_by_vt: Dict[str, tuple] = {}
+    for spec in specs.values():
+        vt = spec.get("val_type", "prec@k")
+        if vt not in combined_by_vt:
+            combined_by_vt[vt] = combined_res_from_inductive(
+                per_method, nm_train, metric, val_type=vt
+            )
     out: Dict[str, List[str]] = {}
-    for rq_name, spec in (rqs or RQ_DEFINITIONS).items():
+    for rq_name, spec in specs.items():
+        combined, all_param_vals = combined_by_vt[spec.get("val_type", "prec@k")]
         processed = process_res_for_rq(
             combined_res=combined,
             template=DEFAULT_RQ_TEMPLATE,

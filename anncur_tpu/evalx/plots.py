@@ -186,7 +186,7 @@ def plot_ce_baselines_from_pivot(
     out_path: str,
     x_prefix: str = "cost",
     model_tags: Sequence[str] = ("cur", "fixed_anc_ent", "fixed_anc_ent_cur"),
-    x_vals: Sequence[int] = (50, 100, 200, 500, 1000),
+    x_vals: Optional[Sequence[int]] = None,  # default: every x column in the CSV
     xlabel: Optional[str] = None,
     title: Optional[str] = None,
 ) -> Optional[str]:
@@ -203,6 +203,14 @@ def plot_ce_baselines_from_pivot(
         reader = _csv.DictReader(fin)
         rows = list(reader)
         row_key = reader.fieldnames[0]
+    if x_vals is None:
+        # take every budget column present — a hardcoded list silently
+        # dropped pivot columns outside it (e.g. RQ2 cost sums like 74)
+        x_vals = sorted(
+            int(c.split("=", 1)[1])
+            for c in reader.fieldnames[1:]
+            if c.startswith(f"{x_prefix}=") and c.split("=", 1)[1].isdigit()
+        )
     y_vals: Dict[str, Dict[int, float]] = {}
     for row in rows:
         model = next(
@@ -215,7 +223,6 @@ def plot_ce_baselines_from_pivot(
         )
         if model.lower() not in tuple(t.lower() for t in model_tags):
             continue
-        label = row[row_key] if "anc_n_e=None" not in row[row_key] else model
         # keep anc_n_e subscript when present (RQ6 annCUR_100 vs _200)
         anc = next(
             (

@@ -154,6 +154,11 @@ def run_retrieve_rerank_eval(
         stop = ment_start + n_ment if n_ment > 0 else ment_tokens.shape[0]
         ment_tokens = ment_tokens[ment_start:stop]
         gt_labels = np.asarray(gt_labels)[ment_start:stop]
+        if ment_tokens.shape[0] == 0:
+            raise ValueError(
+                f"empty mention slice: ment_start={ment_start} n_ment={n_ment} "
+                "is at/past the mention count — check the chunk grid"
+            )
     LOGGER.info("embedding %d entities", ent_tokens.shape[0])
     label_embeds = embed_tokenized(bienc, bienc_params, ent_tokens, batch_size, "label")
     ment_embeds = embed_tokenized(bienc, bienc_params, ment_tokens, batch_size, "input")

@@ -122,3 +122,38 @@ def combine_topk_preds(
         len(combined["indices"]),
     )
     return combined
+
+
+def combine_rr_chunk_dirs(
+    chunk_dirs: List[str],
+    out_dir: str,
+    overwrite: bool = False,
+) -> None:
+    """Merge chunked retrieve-and-rerank result DIRS into one res_dir
+    that ``run_from_precomputed_preds`` can consume directly: both
+    topk-pred JSONs are row-concatenated and the per-chunk
+    ``gt_labels.txt`` flat lists are concatenated in the same order
+    (the file-level :func:`combine_topk_preds` alone cannot merge the
+    gt file, which a re-scoring run requires)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ("bienc_topk_preds.txt", "crossenc_topk_preds_w_bienc_retrvr.txt"):
+        combine_topk_preds(
+            [os.path.join(d, name) for d in chunk_dirs],
+            os.path.join(out_dir, name),
+            overwrite=overwrite,
+        )
+    gt_out = os.path.join(out_dir, "gt_labels.txt")
+    if os.path.exists(gt_out) and not overwrite:
+        raise FileExistsError(f"{gt_out} exists; pass overwrite=True")
+    gt: List[int] = []
+    for d in chunk_dirs:
+        with open(os.path.join(d, "gt_labels.txt")) as fin:
+            gt += json.load(fin)
+    n_rows = None
+    with open(os.path.join(out_dir, "bienc_topk_preds.txt")) as fin:
+        n_rows = len(json.load(fin)["indices"])
+    if len(gt) != n_rows:
+        raise ValueError(f"{len(gt)} gt labels != {n_rows} prediction rows")
+    with open(gt_out, "w") as fout:
+        json.dump(gt, fout)
+    LOGGER.info("combined %d chunk dirs -> %s (%d mentions)", len(chunk_dirs), out_dir, len(gt))

@@ -407,10 +407,20 @@ class Trainer:
                 inp = lab = None
                 state = getattr(self, "_last_state", None)
                 if self.config.neg_strategy == "top_ce_w_bienc_hard_negs_trp" and state is not None:
-                    from anncur_tpu.evalx.retrieve_rerank import embed_tokenized
+                    # cache per (dataset, epoch): with a step-level
+                    # eval_interval the dev loader would otherwise
+                    # re-embed the whole dev corpus on EVERY dev eval
+                    # (the same cliff the per-epoch dev-negs cache fixes)
+                    cache = getattr(self, "_trp_embed_cache", None)
+                    key = (id(data), epoch)
+                    if cache is not None and cache[0] == key:
+                        inp, lab = cache[1], cache[2]
+                    else:
+                        from anncur_tpu.evalx.retrieve_rerank import embed_tokenized
 
-                    inp = embed_tokenized(self.model, state.params, data.mention_tokens, self.config.eval_batch_size, "input")
-                    lab = embed_tokenized(self.model, state.params, data.entity_tokens, self.config.eval_batch_size, "label")
+                        inp = embed_tokenized(self.model, state.params, data.mention_tokens, self.config.eval_batch_size, "input")
+                        lab = embed_tokenized(self.model, state.params, data.entity_tokens, self.config.eval_batch_size, "label")
+                        self._trp_embed_cache = (key, inp, lab)
                 return data_mod.distill_triplet_batches(
                     data, self.config.distill_n_labels, batch_size, shuffle, epoch,
                     input_embeds=inp, label_embeds=lab,

@@ -230,3 +230,72 @@ def test_serve_cli_retriever_state_file(tmp_path):
     )
     lines = [_json.loads(l) for l in open(out)]
     assert len(lines) == 1 and len(lines[0]["results"]) == 3
+
+
+def test_combine_rr_dirs_enables_from_precomputed(tmp_path, mesh8):
+    """Chunked retrieve-rerank dirs -> rr_dirs combine -> re-scoring from
+    the combined dir must equal the monolithic run (the file-level
+    topk_preds combiner alone could not merge gt_labels.txt)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anncur_tpu.cli import combine_chunks
+    from anncur_tpu.data.synthetic import make_tokenized_world
+    from anncur_tpu.evalx.retrieve_rerank import (
+        run_from_precomputed_preds,
+        run_retrieve_rerank_eval,
+    )
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.biencoder import BiEncoder
+    from anncur_tpu.models.crossencoder import CrossEncoder
+
+    ment, ent, gt, tok = make_tokenized_world(seed=16, n_ents=24, n_ments=12,
+                                              max_ment_len=16, max_ent_len=16)
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, max_position_embeddings=64)
+    bienc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=spec.hidden_size, compute_dtype=jnp.float32)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    bp = bienc.init(jax.random.PRNGKey(0))
+    cp = ce.init(jax.random.PRNGKey(1))
+
+    mono = run_retrieve_rerank_eval(
+        bienc, bp, ce, cp, ment, ent, gt, top_k=8, batch_size=8,
+        res_dir=str(tmp_path / "mono"),
+    )
+    for start, n in ((0, 6), (6, -1)):
+        run_retrieve_rerank_eval(
+            bienc, bp, ce, cp, ment, ent, gt, top_k=8, batch_size=8,
+            res_dir=str(tmp_path / f"chunk{start}"), ment_start=start, n_ment=n,
+        )
+    combine_chunks.main([
+        "--mode", "rr_dirs",
+        "--chunks", str(tmp_path / "chunk0"), str(tmp_path / "chunk6"),
+        "--out", str(tmp_path / "combined"),
+    ])
+    rescored = run_from_precomputed_preds(str(tmp_path / "combined"))
+    for head in ("bienc", "crossenc"):
+        for metric, val in mono[head].items():
+            assert abs(float(rescored[head][metric]) - float(val)) < 1e-6, (head, metric)
+
+
+def test_retrieve_rerank_empty_slice_fails_cleanly(mesh8):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anncur_tpu.data.synthetic import make_tokenized_world
+    from anncur_tpu.evalx.retrieve_rerank import run_retrieve_rerank_eval
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.biencoder import BiEncoder
+    from anncur_tpu.models.crossencoder import CrossEncoder
+
+    ment, ent, gt, tok = make_tokenized_world(seed=17, n_ents=12, n_ments=6,
+                                              max_ment_len=16, max_ent_len=16)
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, max_position_embeddings=64)
+    bienc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=spec.hidden_size, compute_dtype=jnp.float32)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="empty mention slice"):
+        run_retrieve_rerank_eval(
+            bienc, bienc.init(jax.random.PRNGKey(0)), ce, ce.init(jax.random.PRNGKey(1)),
+            ment, ent, gt, top_k=4, ment_start=99,
+        )
