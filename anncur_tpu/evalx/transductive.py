@@ -134,8 +134,16 @@ def fixed_anc_ent_approx(
     scores against a fixed anchor-entity set; mention embeddings are the
     mention's scores with the same anchors
     (reference: run_retrieval_eval_wrt_exact_crossenc.py:288-309)."""
-    mention_embeds = exact[:, anchor_ents]
-    return mention_embeds @ ent_to_ent_scores.T
+    import jax.numpy as jnp
+
+    # score-path matmul: TPU-default bf16 precision silently degrades
+    # recall (CLAUDE.md, measured) — force true f32
+    return jnp.dot(
+        jnp.asarray(exact)[:, jnp.asarray(anchor_ents)],
+        jnp.asarray(np.asarray(ent_to_ent_scores, np.float32)).T,
+        preferred_element_type=jnp.float32,
+        precision="highest",
+    )
 
 
 def fixed_anc_ent_cur_approx(
@@ -143,19 +151,33 @@ def fixed_anc_ent_cur_approx(
     ent_to_ent_scores: np.ndarray,  # (n_ents, n_fixed_anchors)
     n_ent_anchors: int,
     seed: int = 0,
+    anchor_idxs: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """CUR on top of the fixed-anchor ent2ent matrix
     (reference: :310-346): R = e2e.T, U = pinv(R[:, anc]),
-    approx = M[:, anc] @ (U @ R)."""
+    approx = M[:, anc] @ (U @ R).
+
+    ``anchor_idxs``: pass pre-sampled anchors to replicate the
+    reference's SINGLE advancing rng across successive n_ent_anchors
+    values (run_transductive_eval does); the seed fallback here draws a
+    fresh rng and only matches the reference for the first value."""
+    import jax.numpy as jnp
+
     from anncur_tpu.ops.pinv import pinv_f64
 
     n_ents = ent_to_ent_scores.shape[0]
-    rng = np.random.default_rng(seed=seed)
-    anchor_idxs = np.asarray(sorted(rng.choice(n_ents, size=n_ent_anchors, replace=False)))
+    if anchor_idxs is None:
+        anchor_idxs = sample_anchors(np.random.default_rng(seed=seed), n_ents, n_ent_anchors)
     r = np.asarray(ent_to_ent_scores).T  # (n_fixed, n_ents)
     u = pinv_f64(r[:, anchor_idxs])  # (n_anc, n_fixed)
     ur = (u @ r.astype(np.float64)).astype(np.float32)  # (n_anc, n_ents)
-    return exact[:, anchor_idxs] @ ur
+    # score-path matmul at true f32 (see fixed_anc_ent_approx)
+    return jnp.dot(
+        jnp.asarray(exact)[:, jnp.asarray(np.asarray(anchor_idxs))],
+        jnp.asarray(ur),
+        preferred_element_type=jnp.float32,
+        precision="highest",
+    )
 
 
 def run_transductive_eval(
@@ -191,11 +213,21 @@ def run_transductive_eval(
     n_ment_anchors_vals = [
         v for v in (n_ment_anchors_vals or DEFAULT_N_MENT_ANCHORS) if v <= total_n_ment
     ]
-    base_ent_anchors = list(n_ent_anchors_vals or DEFAULT_N_ENT_ANCHORS)
-    n_ent_anchors_vals = [v for v in base_ent_anchors if v < total_n_ent] + (
-        [] if n_ent_anchors_vals else [total_n_ent]
-    )
-    n_ent_anchors_vals = n_ent_anchors_vals or base_ent_anchors
+    if n_ent_anchors_vals is None:
+        n_ent_anchors_vals = [
+            v for v in DEFAULT_N_ENT_ANCHORS if v < total_n_ent
+        ] + [total_n_ent]
+    else:
+        dropped = [v for v in n_ent_anchors_vals if v > total_n_ent]
+        n_ent_anchors_vals = [v for v in n_ent_anchors_vals if v <= total_n_ent]
+        if dropped:
+            LOGGER.warning(
+                "n_ent_anchors values %s exceed n_ents=%d; dropped", dropped, total_n_ent
+            )
+        if not n_ent_anchors_vals:
+            raise ValueError(
+                f"every n_ent_anchors value exceeds n_ents={total_n_ent}"
+            )
     top_k_vals = list(top_k_vals or [10])
     top_k_retvr_vals = list(top_k_retvr_vals or [500])
 
@@ -231,8 +263,18 @@ def run_transductive_eval(
                 LOGGER.warning("%s skipped: no e2e data for %d anchors", method, n_fixed)
                 continue
             e2e = ent_to_ent_data[n_fixed]["scores"]
+            # ONE advancing rng across successive n_ent_anchors values —
+            # the reference draws all anchor sets from a single rng(0)
+            # (run_retrieval_eval_wrt_exact_crossenc.py:330-346); a fresh
+            # rng per value diverges from its sampling after the first
+            fae_rng = np.random.default_rng(seed=0)
+            n_e2e = np.asarray(e2e).shape[0]
             precomp = {
-                v: fixed_anc_ent_cur_approx(exact, e2e, v) for v in n_ent_anchors_vals
+                v: fixed_anc_ent_cur_approx(
+                    exact, e2e, v,
+                    anchor_idxs=sample_anchors(fae_rng, n_e2e, v),
+                )
+                for v in n_ent_anchors_vals
             }
         else:
             raise NotImplementedError(f"method={method!r}")

@@ -51,31 +51,48 @@ class ChunkDirLock:
 
     def __init__(self, chunk_dir: str):
         import os
+        import time as _time
 
         self.path = os.path.join(chunk_dir, ".lock")
         os.makedirs(chunk_dir, exist_ok=True)
+        # the pid is written to a temp file that is hard-LINKED into
+        # place: creation is atomic WITH content, so a reader can never
+        # observe an empty lockfile and mistake a live owner (pid not yet
+        # written) for a stale one — the O_EXCL-then-write sequence had
+        # exactly that window.
+        tmp = f"{self.path}.{os.getpid()}.tmp"
         while True:
+            with open(tmp, "w") as fout:
+                fout.write(str(os.getpid()))
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
+                os.link(tmp, self.path)
+                os.remove(tmp)
                 return
             except FileExistsError:
+                os.remove(tmp)
+            owner = 0
+            for _ in range(3):  # tolerate legacy/corrupt lockfiles briefly
                 try:
                     owner = int(open(self.path).read().strip() or "0")
+                except FileNotFoundError:
+                    owner = -1  # released between our check and read: retry
+                    break
                 except (OSError, ValueError):
                     owner = 0
-                if owner and _pid_alive(owner):
-                    raise RuntimeError(
-                        f"chunk dir {chunk_dir} is being written by live pid {owner}"
-                    )
-                LOGGER.warning("stealing stale chunk-dir lock from pid %s", owner)
-                try:
-                    import os as _os
-
-                    _os.remove(self.path)
-                except FileNotFoundError:
-                    pass
+                if owner:
+                    break
+                _time.sleep(0.1)
+            if owner == -1:
+                continue
+            if owner and _pid_alive(owner):
+                raise RuntimeError(
+                    f"chunk dir {chunk_dir} is being written by live pid {owner}"
+                )
+            LOGGER.warning("stealing stale chunk-dir lock from pid %s", owner)
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
 
     def release(self) -> None:
         import os
@@ -267,8 +284,14 @@ class ScoreMatrixBuilder:
             i = 0
             while i < n_m:
                 if chunk_dir is not None:
+                    # chunk files are keyed by their exact start row, and
+                    # flush boundaries are ment_block-aligned (the first
+                    # bm multiple >= chunk_rows) — requiring
+                    # i % chunk_rows == 0 here silently refused every
+                    # chunk after the first when bm does not divide
+                    # chunk_rows, recomputing hours of finished work
                     cpath = os.path.join(chunk_dir, f"chunk_{i}.npz")
-                    if os.path.exists(cpath) and i % chunk_rows == 0:
+                    if os.path.exists(cpath):
                         if pending is not None:
                             done_to = drain(pending)
                             pending = None
@@ -333,17 +356,25 @@ class ScoreMatrixBuilder:
         n_e, le = ent_tokens.shape
         pair_len = lm + le - 1
         pair_len += (-pair_len) % self.pair_pad_multiple
-        enc = self.encoder
         be = max(self.ent_block, 1)
         n_e_pad = n_e + ((-n_e) % be)
         ents_padded = np.zeros((n_e_pad, le), ent_tokens.dtype)
         ents_padded[:n_e] = ent_tokens
         ents_dev = jnp.asarray(ents_padded)
 
-        @jax.jit
-        def step(p, ment_row, ents):
-            pairs = build_pairs(ment_row[None, :], ents, pair_len)
-            return enc.embed_paired(p, pairs, first_segment_end=lm)
+        # cached per shape key — a fresh local jit here retraced the
+        # joint forward on EVERY paired_embeds call (the same pitfall
+        # _step_cache exists to avoid for __call__)
+        key = ("embeds", lm, le, pair_len)
+        if key not in self._step_cache:
+            enc = self.encoder
+
+            def step(p, ment_row, ents):
+                pairs = build_pairs(ment_row[None, :], ents, pair_len)
+                return enc.embed_paired(p, pairs, first_segment_end=lm)
+
+            self._step_cache[key] = jax.jit(step)
+        step = self._step_cache[key]
 
         m_out = []
         e_out = []

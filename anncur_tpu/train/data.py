@@ -71,12 +71,28 @@ def merge_worlds(datasets: Sequence["EntLinkDataset"]) -> "EntLinkDataset":
     ents = None
     if all(d.entities is not None for d in datasets):
         ents = [e for d in datasets for e in d.entities]
+    score_matrix = None
+    if all(d.score_matrix is not None for d in datasets):
+        # block-aligned teacher matrix: each world's scores land at its
+        # mention rows x its entity range; cross-world cells get a large
+        # negative fill so distill top-N selection stays within-world.
+        # (dropping the matrix silently broke multi-domain distillation:
+        # distill_batches raised 'requires a teacher score matrix'.)
+        n_m_total = sum(d.n_ments for d in datasets)
+        score_matrix = np.full((n_m_total, int(ent_offsets[-1])), -1e9, np.float32)
+        row = 0
+        for i, d in enumerate(datasets):
+            score_matrix[
+                row : row + d.n_ments, ent_offsets[i] : ent_offsets[i + 1]
+            ] = np.asarray(d.score_matrix, np.float32)
+            row += d.n_ments
     return EntLinkDataset(
         mention_tokens=np.concatenate([pad(d.mention_tokens, lm) for d in datasets]),
         entity_tokens=np.concatenate([pad(d.entity_tokens, le) for d in datasets]),
         gt_labels=gt.astype(np.int64),
         mention_texts=texts,
         entities=ents,
+        score_matrix=score_matrix,
         mention_world=np.concatenate(
             [np.full(d.n_ments, i, np.int32) for i, d in enumerate(datasets)]
         ),
@@ -167,7 +183,9 @@ def bienc_batches(
         if len(idx) < batch_size:
             if drop_remainder and n >= batch_size:
                 return
-            idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+            # np.resize cycles when n < batch_size — a plain slice of order
+            # underfilled the batch and broke the fixed-shape contract
+            idx = np.resize(np.concatenate([idx, order]), batch_size)
         yield {
             "input": data.mention_tokens[idx],
             "pos": data.entity_tokens[data.gt_labels[idx]],
@@ -199,7 +217,9 @@ def crossenc_batches(
         if len(idx) < batch_size:
             if drop_remainder and n >= batch_size:
                 return
-            idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+            # np.resize cycles when n < batch_size — a plain slice of order
+            # underfilled the batch and broke the fixed-shape contract
+            idx = np.resize(np.concatenate([idx, order]), batch_size)
         b = len(idx)
         pos_pairs = np.empty((b, lp), np.int32)
         neg_pairs = np.empty((b, num_negs, lp), np.int32)
@@ -252,8 +272,10 @@ def distill_triplet_batches(
     n = len(order)
     for i in range(0, n, batch_size):
         idx = order[i : i + batch_size]
-        if len(idx) < batch_size and n >= batch_size:
-            idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+        if len(idx) < batch_size:
+            # np.resize cycles when n < batch_size — a plain slice of order
+            # underfilled the batch and broke the fixed-shape contract
+            idx = np.resize(np.concatenate([idx, order]), batch_size)
         yield {
             "input": data.mention_tokens[ment_rows[idx]],
             "pos": data.entity_tokens[pos_flat[idx]],
@@ -279,8 +301,10 @@ def distill_batches(
         np.random.default_rng(seed).shuffle(order)
     for i in range(0, data.n_ments, batch_size):
         idx = order[i : i + batch_size]
-        if len(idx) < batch_size and data.n_ments >= batch_size:
-            idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+        if len(idx) < batch_size:
+            # np.resize cycles when n < batch_size — a plain slice of order
+            # underfilled the batch and broke the fixed-shape contract
+            idx = np.resize(np.concatenate([idx, order]), batch_size)
         yield {
             "input": data.mention_tokens[idx],
             "labels": data.entity_tokens[top["indices"][idx]],

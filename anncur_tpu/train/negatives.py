@@ -44,12 +44,21 @@ def get_random_negs_w_blacklist(
     num_negs: int,
     seed: int,
 ) -> np.ndarray:
-    """(reference: get_random_negs_w_blacklist, :297-317)."""
+    """(reference: get_random_negs_w_blacklist, :297-317).
+
+    Vectorized: a boolean mask per row instead of a python list
+    comprehension over all labels — the comprehension was
+    O(n_ments * n_labels) interpreter work per epoch (~4e8 set lookups
+    at ZeShEL scale), stalling the accelerator between epochs. The
+    reference zeroes a probability vector the same way (:304-309)."""
     rng = np.random.default_rng(seed)
     out = np.empty((len(gt_labels), num_negs), np.int64)
+    all_labels = np.arange(n_labels)
     for i, gt in enumerate(gt_labels):
-        banned = set(blacklists[i]) | {int(gt)}
-        pool = np.asarray([j for j in range(n_labels) if j not in banned])
+        mask = np.ones(n_labels, dtype=bool)
+        mask[np.asarray(blacklists[i], dtype=np.int64)] = False
+        mask[int(gt)] = False
+        pool = all_labels[mask]
         out[i] = rng.choice(pool, size=num_negs, replace=num_negs > len(pool))
     return out
 

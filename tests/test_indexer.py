@@ -187,3 +187,41 @@ def test_preemption_mid_build_resume(mesh8, world, ce_and_params, tmp_path):
     resumed = builder(params, ment_toks, ent_toks, chunk_dir=d, chunk_rows=4)
     fresh = builder(params, ment_toks, ent_toks)
     np.testing.assert_allclose(resumed, fresh, atol=1e-6)
+
+
+def test_resume_accepts_block_aligned_chunks(tmp_path, mesh8):
+    """Flush boundaries are ment_block-aligned (first bm multiple >=
+    chunk_rows); resume must load ALL such chunks, not only those at
+    chunk_rows multiples — the old `i % chunk_rows == 0` check silently
+    recomputed everything after the first chunk when bm did not divide
+    chunk_rows."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anncur_tpu.data.synthetic import make_tokenized_world
+    from anncur_tpu.indexer import ScoreMatrixBuilder
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.crossencoder import CrossEncoder
+
+    ment, ent, gt, tok = make_tokenized_world(seed=21, n_ents=16, n_ments=14,
+                                              max_ment_len=12, max_ent_len=12)
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, max_position_embeddings=64)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(0))
+    # bm=3 does NOT divide chunk_rows=4: boundaries land at 6, 12, 14
+    builder = ScoreMatrixBuilder(ce, mesh8, ment_block=3, ent_block=8, pair_pad_multiple=32)
+    cd = str(tmp_path / "chunks")
+    first = builder(params, ment, ent, chunk_dir=cd, chunk_rows=4)
+    files = sorted(f for f in os.listdir(cd) if f.startswith("chunk_"))
+    assert len(files) >= 2, files
+    mtimes = {f: os.path.getmtime(os.path.join(cd, f)) for f in files}
+
+    second = builder(params, ment, ent, chunk_dir=cd, chunk_rows=4)
+    np.testing.assert_allclose(np.asarray(first), np.asarray(second), rtol=1e-6)
+    files2 = sorted(f for f in os.listdir(cd) if f.startswith("chunk_"))
+    assert files2 == files, "resume rewrote/created chunk files instead of loading them"
+    for f in files:
+        assert os.path.getmtime(os.path.join(cd, f)) == mtimes[f], f"{f} was rewritten"
