@@ -164,7 +164,14 @@ class Config:
             if isinstance(default, bool):
                 parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"), default=None)
             elif isinstance(default, (list, tuple)):
-                elem_t = type(default[0]) if len(default) else str
+                if len(default):
+                    elem_t = type(default[0])
+                else:
+                    # empty default (e.g. mesh_shape): element type comes
+                    # from the List[...] annotation, not the (absent)
+                    # first element — plain str broke the int contract
+                    ann = str(f.type)
+                    elem_t = int if "int" in ann else (float if "float" in ann else str)
                 parser.add_argument(f"--{f.name}", nargs="+", type=elem_t, default=None)
             elif isinstance(default, dict):
                 parser.add_argument(f"--{f.name}", type=json.loads, default=None)

@@ -55,10 +55,18 @@ def adaptive_cur_query(
     their own per-query candidates after round 0.
     """
     rng = np.random.default_rng(seed)
+    if total_budget < n_rounds:
+        LOGGER.warning(
+            "total_budget=%d < n_rounds=%d: clamping to %d rounds",
+            total_budget, n_rounds, total_budget,
+        )
+        n_rounds = max(1, total_budget)
     per_round = max(1, total_budget // n_rounds)
     first_round = total_budget - per_round * (n_rounds - 1)
 
     train = np.asarray(train_scores, np.float32)
+    total_budget = min(total_budget, n_items)
+    first_round = min(first_round, n_items)
 
     # round 0: shared random anchors (no information about the query yet)
     anchors0 = np.asarray(sorted(rng.choice(n_items, size=first_round, replace=False)))
@@ -71,24 +79,45 @@ def adaptive_cur_query(
     scored_ids = [list(anchors0) for _ in range(n_q)]
     scored_vals = [list(scores0[i]) for i in range(n_q)]
 
+    train64 = train.astype(np.float64)
     for _ in range(n_rounds - 1):
-        # which ids each query wants next (top approx, unscored)
-        next_ids = np.empty((n_q, per_round), np.int64)
-        for i in range(n_q):
-            ids = np.asarray(scored_ids[i])
-            vals = np.asarray(scored_vals[i], np.float32)[None, :]
-            # completion through the train latent space, anchored at the
-            # query's OWN scored set
+        # which ids each query wants next (top approx, unscored).
+        # NB round 1 is special: every query still shares the SAME scored
+        # set (anchors0), so one pinv + one batched matmul serves all of
+        # them — per-query recomputation was ~n_q identical f64 GEMMs.
+        next_ids: list = [None] * n_q
+        all_same = all(scored_ids[i] == scored_ids[0] for i in range(1, n_q))
+        if all_same:
+            ids = np.asarray(scored_ids[0])
             u = pinv_f64(train[:, ids])  # (|S|, n_train)
-            latent_cols = (u @ train.astype(np.float64)).astype(np.float32)
-            approx = vals @ latent_cols  # (1, n_items)
-            order = np.argsort(-approx[0])
+            latent_cols = (u @ train64).astype(np.float32)
+            vals = np.asarray(scored_vals, np.float32)  # (q, |S|)
+            approx = vals @ latent_cols  # (q, n_items)
             seen = set(ids.tolist())
-            picks = [j for j in order if j not in seen][:per_round]
-            next_ids[i] = picks
-        # batched exact CE scoring of the union, then scatter back
-        # (one device batch per round keeps the MXU busy)
-        unique = np.unique(next_ids)
+            for i in range(n_q):
+                order = np.argsort(-approx[i])
+                next_ids[i] = [j for j in order if j not in seen][:per_round]
+        else:
+            for i in range(n_q):
+                ids = np.asarray(scored_ids[i])
+                vals = np.asarray(scored_vals[i], np.float32)[None, :]
+                # completion through the train latent space, anchored at
+                # the query's OWN scored set
+                u = pinv_f64(train[:, ids])  # (|S|, n_train)
+                latent_cols = (u @ train64).astype(np.float32)
+                approx = vals @ latent_cols  # (1, n_items)
+                order = np.argsort(-approx[0])
+                seen = set(ids.tolist())
+                next_ids[i] = [j for j in order if j not in seen][:per_round]
+        if not any(next_ids):
+            break  # every query has scored the whole corpus
+        # batched exact CE scoring of the union, then scatter back each
+        # query's OWN picks (one device batch per round keeps the MXU
+        # busy; scores of other queries' picks are computed-and-dropped —
+        # a deliberate trade of wasted pairs for a single big batch, and
+        # they never enter the kept set, so the per-query CE-call budget
+        # accounting stays honest)
+        unique = np.unique(np.concatenate([np.asarray(p, np.int64) for p in next_ids if p]))
         uni_scores = np.asarray(score_items_fn(unique))  # (q, |unique|)
         pos = {int(j): c for c, j in enumerate(unique)}
         for i in range(n_q):
@@ -106,7 +135,14 @@ def adaptive_cur_query(
         order = np.argsort(-vals)[:top_k]
         out_ids[i, : len(order)] = ids[order]
         out_scores[i, : len(order)] = vals[order]
-    return out_scores, out_ids, np.asarray([np.asarray(s) for s in scored_ids])
+    # queries can exhaust the corpus at different rounds -> ragged sets
+    lens = {len(s) for s in scored_ids}
+    scored_out = (
+        np.asarray([np.asarray(s) for s in scored_ids])
+        if len(lens) == 1
+        else [np.asarray(s) for s in scored_ids]
+    )
+    return out_scores, out_ids, scored_out
 
 
 def adaptive_recall_vs_fixed(

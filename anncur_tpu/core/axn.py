@@ -100,8 +100,10 @@ def axn_query(
     through the learned embedding space (solve instead of pinv-per-query,
     so rounds cost O(k r^2) not O(n_train^2))."""
     rng = np.random.default_rng(seed)
+    if total_budget < n_rounds:
+        n_rounds = max(1, total_budget)
     per_round = max(1, total_budget // n_rounds)
-    first = total_budget - per_round * (n_rounds - 1)
+    first = min(total_budget - per_round * (n_rounds - 1), n_items)
 
     ids0 = np.asarray(sorted(rng.choice(n_items, size=first, replace=False)))
     vals0 = np.asarray(score_items_fn(ids0))
@@ -109,16 +111,29 @@ def axn_query(
     scored_ids = [list(ids0) for _ in range(n_q)]
     scored_vals = [list(vals0[i]) for i in range(n_q)]
 
-    for _ in range(n_rounds - 1):
-        next_ids = np.empty((n_q, per_round), np.int64)
-        for i in range(n_q):
-            ids = jnp.asarray(np.asarray(scored_ids[i]))
-            vals = jnp.asarray(np.asarray(scored_vals[i], np.float32)[None, :])
-            approx = np.asarray(axn_complete(index, ids, vals, lam))[0]
-            order = np.argsort(-approx)
-            seen = set(scored_ids[i])
-            next_ids[i] = [j for j in order if j not in seen][:per_round]
-        unique = np.unique(next_ids)
+    for rnd in range(n_rounds - 1):
+        next_ids: list = [None] * n_q
+        if rnd == 0:
+            # round 1: every query shares the SAME scored set — one
+            # batched ridge completion serves all of them
+            ids = jnp.asarray(ids0)
+            vals = jnp.asarray(np.asarray(scored_vals, np.float32))  # (q, |S|)
+            approx = np.asarray(axn_complete(index, ids, vals, lam))
+            seen = set(ids0.tolist())
+            for i in range(n_q):
+                order = np.argsort(-approx[i])
+                next_ids[i] = [j for j in order if j not in seen][:per_round]
+        else:
+            for i in range(n_q):
+                ids = jnp.asarray(np.asarray(scored_ids[i]))
+                vals = jnp.asarray(np.asarray(scored_vals[i], np.float32)[None, :])
+                approx = np.asarray(axn_complete(index, ids, vals, lam))[0]
+                order = np.argsort(-approx)
+                seen = set(scored_ids[i])
+                next_ids[i] = [j for j in order if j not in seen][:per_round]
+        if not any(next_ids):
+            break  # corpus exhausted
+        unique = np.unique(np.concatenate([np.asarray(p, np.int64) for p in next_ids if p]))
         uni_scores = np.asarray(score_items_fn(unique))
         pos = {int(j): c for c, j in enumerate(unique)}
         for i in range(n_q):

@@ -87,17 +87,21 @@ def bert_params_from_state_dict(
 
 
 def spec_from_hf_config(config) -> BertSpec:
-    """BertSpec from a transformers BertConfig."""
+    """BertSpec from a transformers BertConfig (or a plain config dict —
+    the single mapping site for HF field names; keep it that way)."""
+    get = (lambda k, d=None: config.get(k, d)) if isinstance(config, dict) else (
+        lambda k, d=None: getattr(config, k, d)
+    )
     return BertSpec(
-        vocab_size=config.vocab_size,
-        hidden_size=config.hidden_size,
-        num_layers=config.num_hidden_layers,
-        num_heads=config.num_attention_heads,
-        intermediate_size=config.intermediate_size,
-        max_position_embeddings=config.max_position_embeddings,
-        type_vocab_size=config.type_vocab_size,
-        layer_norm_eps=config.layer_norm_eps,
-        initializer_range=config.initializer_range,
+        vocab_size=get("vocab_size"),
+        hidden_size=get("hidden_size"),
+        num_layers=get("num_hidden_layers"),
+        num_heads=get("num_attention_heads"),
+        intermediate_size=get("intermediate_size"),
+        max_position_embeddings=get("max_position_embeddings", 512),
+        type_vocab_size=get("type_vocab_size", 2),
+        layer_norm_eps=get("layer_norm_eps", 1e-12),
+        initializer_range=get("initializer_range", 0.02),
     )
 
 
@@ -179,16 +183,7 @@ def load_bert_from_pretrained_dir(model_dir: str):
 
     with open(os.path.join(model_dir, "config.json")) as fin:
         cfg = json.load(fin)
-    spec = BertSpec(
-        vocab_size=cfg["vocab_size"],
-        hidden_size=cfg["hidden_size"],
-        num_layers=cfg["num_hidden_layers"],
-        num_heads=cfg["num_attention_heads"],
-        intermediate_size=cfg["intermediate_size"],
-        max_position_embeddings=cfg["max_position_embeddings"],
-        type_vocab_size=cfg.get("type_vocab_size", 2),
-        layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
-    )
+    spec = spec_from_hf_config(cfg)
     for name in ("pytorch_model.bin", "model.pt", "model.torch"):
         path = os.path.join(model_dir, name)
         if os.path.exists(path):

@@ -70,12 +70,22 @@ class NativeWordPieceTokenizer(WordPieceTokenizer):
         self._lib = _ensure_lib()
         self._handle = None
         if self._lib is not None:
-            ordered = [t for t, _ in sorted(self.vocab.items(), key=lambda kv: kv[1])]
-            arr = (ctypes.c_char_p * len(ordered))(*[t.encode("utf-8") for t in ordered])
-            self._handle = self._lib.wp_create(
-                arr, len(ordered), self.vocab[self.unk_token], self.max_chars_per_word
-            )
-            self._buf = (ctypes.c_int * self.MAX_IDS)()
+            # the C side assigns ids by ARRAY POSITION: a vocab with id
+            # gaps (blank vocab.txt line, remapped ids) would silently
+            # shift every id after the gap — refuse the fast path there
+            ids = sorted(self.vocab.values())
+            if ids != list(range(len(ids))):
+                LOGGER.warning(
+                    "vocab ids are not dense 0..%d; native tokenizer "
+                    "disabled (python path is id-exact)", len(ids) - 1,
+                )
+            else:
+                ordered = [t for t, _ in sorted(self.vocab.items(), key=lambda kv: kv[1])]
+                arr = (ctypes.c_char_p * len(ordered))(*[t.encode("utf-8") for t in ordered])
+                self._handle = self._lib.wp_create(
+                    arr, len(ordered), self.vocab[self.unk_token], self.max_chars_per_word
+                )
+                self._buf = (ctypes.c_int * self.MAX_IDS)()
 
     @property
     def native_available(self) -> bool:
@@ -83,6 +93,11 @@ class NativeWordPieceTokenizer(WordPieceTokenizer):
 
     def encode(self, text: str) -> List[int]:
         if self._handle is not None and not any(s in text for s in self.never_split):
+            if "\x00" in text:
+                # a NUL would terminate the C string and silently drop
+                # the tail; the python path's _clean DROPS the NUL —
+                # match that here
+                text = text.replace("\x00", "")
             n = self._lib.wp_tokenize(
                 self._handle, text.encode("utf-8", "ignore"), self._buf, self.MAX_IDS
             )

@@ -31,7 +31,9 @@ def _fmt_overrides(overrides: Dict) -> str:
     parts = []
     for k, v in overrides.items():
         if isinstance(v, (list, tuple)):
-            parts.append(f"--{k} " + " ".join(str(x) for x in v))
+            # quote each element: values with spaces/metacharacters would
+            # otherwise split into extra args (or execute) under shell=True
+            parts.append(f"--{k} " + " ".join(shlex.quote(str(x)) for x in v))
         else:
             parts.append(f"--{k} {shlex.quote(str(v))}")
     return " ".join(parts)
@@ -100,6 +102,7 @@ def launch(jobs: Iterable[Dict], backend: str = "print", skip_done: bool = True)
     backend: 'print' | 'local' | a template containing '{cmd}'
     (e.g. \"sbatch --partition=tpu --wrap '{cmd}'\").
     """
+    jobs = list(jobs)  # a generator would be exhausted before the count log
     launched = []
     for job in jobs:
         if skip_done and job.get("done"):
@@ -115,5 +118,5 @@ def launch(jobs: Iterable[Dict], backend: str = "print", skip_done: bool = True)
             LOGGER.info("submitting: %s", full)
             subprocess.run(full, shell=True, check=True)
         launched.append(job)
-    LOGGER.info("%d launched, %d skipped", len(launched), len(list(jobs)) - len(launched))
+    LOGGER.info("%d launched, %d skipped", len(launched), len(jobs) - len(launched))
     return launched
