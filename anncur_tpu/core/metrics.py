@@ -89,7 +89,9 @@ def overlap_metrics(indices_a, indices_b) -> Dict[str, tuple]:
     vals = {
         "common": common_frac * k,
         "diff": (1 - common_frac) * k,
-        "total": np.full_like(common_frac, 2 * k),
+        # reference total = k, NOT len1+len2 (its n_total var is dead,
+        # eval/eval_utils.py:143-149)
+        "total": np.full_like(common_frac, k),
         "common_frac": common_frac,
         "diff_frac": 1 - common_frac,
     }

@@ -52,7 +52,9 @@ def _overlap_stats(a: np.ndarray, b: np.ndarray, k: int) -> Dict[str, float]:
     vals = {
         "common": frac * k,
         "diff": (1 - frac) * k,
-        "total": np.full_like(frac, 2 * k),
+        # reference total = k (its n_total = len1+len2 is dead code,
+        # eval/eval_utils.py:143-149)
+        "total": np.full_like(frac, k),
         "common_frac": frac,
         "diff_frac": 1 - frac,
     }
@@ -136,3 +138,62 @@ def eval_split_overlap(
         stats["approx_error_relative"] = err / max(base, 1e-30)
         res[name] = stats
     return res
+
+
+def eval_approx_grid(
+    exact: np.ndarray,
+    approx: np.ndarray,
+    top_k_vals: Sequence[int],
+    top_k_retvr_vals: Sequence[int],
+    with_error: bool = False,
+) -> Dict[int, Dict[int, Dict[str, float]]]:
+    """{top_k_retvr: {top_k: stats}} for a WHOLE retrieval grid from two
+    argsorts — no per-grid-point device programs.
+
+    Key identity: reranking the approx top-kr by exact scores makes the
+    reranked top-k equal to the k best-exact-ranked items of the
+    retrieved set, so overlap@k with the exact top-k is simply the count
+    of retrieved items whose exact rank is < k. One (q, n) rank gather
+    serves every (k, kr) pair; the per-(kr) jit programs this replaces
+    cost one remote-TPU compile EACH (~34 kr values in the reference
+    budget grid = ~30+ minutes of pure compilation per method).
+    Tie-breaking matches retrieve_rerank (stable by index)."""
+    exact = np.asarray(exact)
+    approx = np.asarray(approx)
+    q, n = exact.shape
+    top_k_retvr_vals = [kr for kr in top_k_retvr_vals if 1 <= kr <= n]
+    if not top_k_retvr_vals:
+        return {}
+    # exact rank of every item, then those ranks in approx-retrieval order
+    exact_order = np.argsort(-exact, axis=1, kind="stable")
+    rank = np.empty((q, n), np.int64)
+    np.put_along_axis(rank, exact_order, np.arange(n)[None, :], axis=1)
+    approx_order = np.argsort(-approx, axis=1, kind="stable")
+    retrieved_ranks = np.take_along_axis(rank, approx_order, axis=1)  # (q, n)
+
+    err = frobenius_error(approx, exact) if with_error else None
+    out: Dict[int, Dict[int, Dict[str, float]]] = {}
+    for k in sorted(set(int(k) for k in top_k_vals)):
+        if k > n:
+            continue
+        hits = np.cumsum(retrieved_ranks < k, axis=1)  # (q, n)
+        for kr in top_k_retvr_vals:
+            if k > kr:
+                continue
+            frac = hits[:, kr - 1] / float(k)
+            vals = {
+                "common": frac * k,
+                "diff": (1 - frac) * k,
+                "total": np.full_like(frac, float(k)),
+                "common_frac": frac,
+                "diff_frac": 1 - frac,
+            }
+            stats = {}
+            for name, v in vals.items():
+                stats[f"exact_vs_reranked_approx_retvr~{name}_mean"] = float(np.mean(v))
+                stats[f"exact_vs_reranked_approx_retvr~{name}_std"] = float(np.std(v))
+                stats[f"exact_vs_reranked_approx_retvr~{name}_p50"] = float(np.percentile(v, 50))
+            if err is not None:
+                stats.update(err)
+            out.setdefault(kr, {})[k] = stats
+    return out

@@ -23,7 +23,7 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 from anncur_tpu.core.cur import build_cur
-from anncur_tpu.evalx.core import eval_approx_for_all_topk
+from anncur_tpu.evalx.core import eval_approx_grid
 
 LOGGER = logging.getLogger(__name__)
 
@@ -122,9 +122,13 @@ def run_inductive_eval(
     elif method == "fixed_anc_ent":
         if ent_to_ent_data is None:
             raise ValueError("method 'fixed_anc_ent' requires ent_to_ent_data")
-        scores = test_scores[:, ent_to_ent_data["anchor_ents"]] @ np.asarray(
-            ent_to_ent_data["scores"]
-        ).T
+        from anncur_tpu.evalx.transductive import fixed_anc_ent_approx
+
+        # precision-correct helper (TPU-default bf16 matmul silently
+        # degrades retrieval scores — transductive.py documents the fix)
+        scores = np.asarray(fixed_anc_ent_approx(
+            test_scores, ent_to_ent_data["scores"], ent_to_ent_data["anchor_ents"]
+        ))
         approx_per_budget = {v: scores for v in n_ent_anchors_vals}
     elif method == "fixed_anc_ent_cur":
         if ent_to_ent_data is None:
@@ -147,8 +151,8 @@ def run_inductive_eval(
         def score_items_fn(ids):
             return test_np[:, ids]
 
-        exact_top = {k: np.argsort(-test_np, axis=1)[:, :k] for k in top_k_vals}
-        from anncur_tpu.core.metrics import topk_overlap_frac
+        order = np.argsort(-test_np, axis=1)  # once; slice per k
+        exact_top = {k: order[:, :k] for k in top_k_vals}
         from anncur_tpu.evalx.core import _overlap_stats
 
         result: Dict = defaultdict(lambda: defaultdict(dict))
@@ -191,11 +195,19 @@ def run_inductive_eval(
         raise NotImplementedError(f"method={method!r}")
 
     result: Dict = defaultdict(lambda: defaultdict(dict))
-    for top_k_retvr in top_k_retvr_vals:
-        for n_anc, approx in approx_per_budget.items():
-            per_topk = eval_approx_for_all_topk(
-                test_scores, approx, top_k_vals, top_k_retvr
+    # evaluate each DISTINCT approx array once over the whole grid
+    # (bienc/tfidf/fixed_anc_ent map every anchor budget to the same
+    # array; the per-(kr) jit programs the old loop compiled cost one
+    # remote-TPU compile each)
+    test_np = np.asarray(test_scores)
+    grid_cache: Dict[int, Dict] = {}
+    for n_anc, approx in approx_per_budget.items():
+        key = id(approx)
+        if key not in grid_cache:
+            grid_cache[key] = eval_approx_grid(
+                test_np, np.asarray(approx), top_k_vals, top_k_retvr_vals
             )
+        for top_k_retvr, per_topk in grid_cache[key].items():
             for top_k, metrics in per_topk.items():
                 result[f"top_k={top_k}"][f"k_retvr={top_k_retvr}"][
                     f"anc_n_e={n_anc}"

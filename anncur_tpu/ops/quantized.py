@@ -3,10 +3,11 @@
 Halves (vs bf16) or quarters (vs f32) the HBM traffic of the retrieval
 scan — the bandwidth-bound part of dense search at 100k+ items — by
 storing item embeddings as int8 with per-item scales. Queries stay
-full precision; scores are computed as (q x items_int8) int32/f32
-matmuls scaled per item. The int8 MXU path on v5e runs at 2x bf16
-throughput, so this is a straight win whenever ~0.4% score error is
-acceptable before exact reranking (retrieve-then-rerank makes it
+full precision; items are dequantized to f32 at contraction time (the
+v5e int8 MXU path measured only ~1.16x through XLA once the dequant
+epilogue is included — CLAUDE.md "int8 CLOSED" — so the win here is
+pure HBM bandwidth, 4x less item traffic, not MXU throughput). ~0.4%
+score error before exact reranking (retrieve-then-rerank makes it
 essentially free: rerank restores exact order).
 
 No reference equivalent (FAISS IVF was its speed lever); this is the
@@ -76,10 +77,14 @@ def mips_topk_int8(
     def body(carry, inp):
         run_s, run_i = carry
         tile, tile_scl, c = inp
-        # int8 values contracted against f32 queries; XLA uses the int8
-        # MXU path when queries are also quantized — keeping queries f32
-        # trades a little of that speed for zero query-side error.
-        scores = jnp.dot(queries, tile.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+        # int8 values dequantized to f32 then contracted at TRUE f32:
+        # without precision='highest' the TPU-default matmul rounds both
+        # operands to bf16 — the very query-side error keeping queries
+        # f32 is meant to avoid (score-path rule, CLAUDE.md).
+        scores = jnp.dot(
+            queries, tile.T.astype(jnp.float32),
+            preferred_element_type=jnp.float32, precision="highest",
+        )
         scores = scores * tile_scl[None, :]
         col = c * chunk + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(col < n, scores, neg_inf)

@@ -85,6 +85,16 @@ class TopKCheckpointManager:
         save_pytree(path, tree, metadata={"epoch": int(epoch), "step": int(step)})
         with open(os.path.join(self.ckpt_dir, "last.json"), "w") as fout:
             json.dump({"path": path, "epoch": int(epoch), "step": int(step)}, fout)
+        # rolling: only the newest eoe is reachable through last.json
+        # (reference PL end-of-epoch callback keeps save_top_k=1,
+        # pairwise_trainer.py:228-237) — prune older ones, which for a
+        # bert-base run are ~400MB+ of params+opt_state EACH
+        for name in os.listdir(self.ckpt_dir):
+            if name.startswith("eoe-") and name != os.path.basename(path):
+                try:
+                    os.remove(os.path.join(self.ckpt_dir, name))
+                except FileNotFoundError:
+                    pass
         return path
 
     def best_path(self) -> Optional[str]:

@@ -169,3 +169,21 @@ def test_aggregate_and_cost_tables(tmp_path, low_rank_factory):
     )
     assert avg["macro"]["acc"] == 70.0
     assert avg["micro"]["acc"] == 75.0
+
+
+def test_eval_approx_grid_matches_per_point_evaluator(rng):
+    """The rank-based grid evaluator must produce the SAME stats as the
+    jitted per-(k, kr) retrieve_rerank path for every grid point."""
+    from anncur_tpu.evalx.core import eval_approx_for_all_topk, eval_approx_grid
+
+    exact = rng.standard_normal((12, 80)).astype(np.float32)
+    approx = (exact + 0.3 * rng.standard_normal(exact.shape)).astype(np.float32)
+    top_k_vals = [1, 5, 10]
+    kr_vals = [5, 10, 17, 40, 80]
+    grid = eval_approx_grid(exact, approx, top_k_vals, kr_vals)
+    for kr in kr_vals:
+        want = eval_approx_for_all_topk(exact, approx, top_k_vals, kr)
+        for k, metrics in want.items():
+            got = grid[kr][k]
+            for name, val in metrics.items():
+                assert abs(got[name] - float(val)) < 1e-6, (kr, k, name, got[name], val)

@@ -54,7 +54,8 @@ def test_overlap_metrics_format():
     b = np.array([[1, 5], [3, 4]])
     res = overlap_metrics(a, b)
     assert res["common_frac"][0] == "mean 0.7500"
-    assert res["total"][0] == "mean 4.0000"
+    # reference total = k (eval_utils.py:143-149; its len1+len2 var is dead)
+    assert res["total"][0] == "mean 2.0000"
     empty = overlap_metrics(np.zeros((0, 2)), np.zeros((0, 2)))
     assert empty["common"] == ("mean 0.0", "std 0.0", "p50 0.0")
 
