@@ -12,6 +12,8 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+
+import numpy as np
 import logging
 import os
 
@@ -53,7 +55,10 @@ def main(argv=None):
 
     method_dirs = sorted(glob.glob(os.path.join(args.res_dir, "method=*")))
     for top_k in args.top_k_vals:
-        method_rows = {}
+        # seed-average the recall-vs-cost rows per method: keeping the
+        # last-seen seed dir made these CSVs single-seed while the RQ
+        # pivots below average — the two outputs disagreed
+        method_seed_rows = {}
         for d in method_dirs:
             method = os.path.basename(d).split("=", 1)[1].split("_s=")[0]
             path = os.path.join(d, "res.json")
@@ -63,8 +68,21 @@ def main(argv=None):
                 res = json.load(fin)
             rows = recall_vs_cost_table(res, method, top_k)
             if rows:
-                method_rows[method] = rows
-                write_csv(rows, os.path.join(args.out_dir, f"recall_vs_cost_{method}_k{top_k}.csv"))
+                method_seed_rows.setdefault(method, []).append(rows)
+        method_rows = {}
+        for method, seed_rows in method_seed_rows.items():
+            by_key = {}
+            for rows in seed_rows:
+                for row in rows:
+                    key = tuple(sorted((k, v) for k, v in row.items() if k != "recall"))
+                    by_key.setdefault(key, []).append(row)
+            rows = []
+            for grouped in by_key.values():
+                row = dict(grouped[0])
+                row["recall"] = float(np.mean([g["recall"] for g in grouped]))
+                rows.append(row)
+            method_rows[method] = rows
+            write_csv(rows, os.path.join(args.out_dir, f"recall_vs_cost_{method}_k{top_k}.csv"))
         if method_rows:
             plot_recall_vs_cost(
                 method_rows,

@@ -30,7 +30,12 @@ def main(argv=None):
     corpus = [f"{t} {d}" for t, d in entities]
     vec = TfidfVectorizer().fit(corpus)
     ent_embeds = vec.transform(corpus)
-    ment_embeds = vec.transform([m["mention"] for m in mentions])
+    # reference embeds the FULL context string, not the bare surface form
+    # (get_hard_negs_tfidf, utils/data_process.py:373-381): short surface
+    # strings give near-degenerate tf-idf vectors and weak negatives
+    ment_embeds = vec.transform(
+        [" ".join([m["context_left"], m["mention"], m["context_right"]]) for m in mentions]
+    )
 
     import jax.numpy as jnp
 

@@ -59,6 +59,12 @@ def main(argv=None):
 
     tfidf_scores = None
     if "tfidf" in args.methods:
+        if args.mode == "transductive":
+            raise SystemExit(
+                "method 'tfidf' is inductive-only (the reference's tfidf "
+                "baseline lives in the fixed-splits eval) — it would fail "
+                "AFTER the other methods' full sweep otherwise"
+            )
         if not (args.ment_file and args.ent_file):
             raise SystemExit("method tfidf requires --ment_file and --ent_file")
         from anncur_tpu.data import load_entities, load_mentions
@@ -67,7 +73,12 @@ def main(argv=None):
         kb2local, entities = load_entities(args.ent_file)
         mentions = load_mentions(args.ment_file, kb2local)
         ment_idxs = data.get("arg_dict", {}).get("ment_idxs")
-        ment_texts = [m["mention"] for m in mentions]
+        # full context string, matching the reference tfidf baseline
+        # (utils/data_process.py:380, ..._w_fixed_train_test_splits.py:369)
+        ment_texts = [
+            " ".join([m["context_left"], m["mention"], m["context_right"]])
+            for m in mentions
+        ]
         if ment_idxs is not None:
             ment_texts = [ment_texts[i] for i in ment_idxs]
         if len(ment_texts) != exact.shape[0]:

@@ -52,14 +52,12 @@ def load_world_dataset(cfg: Config, files, tokenizer: WordPieceTokenizer) -> Ent
     if cfg.debug_w_small_data:
         mentions = mentions[:100]
     ment_toks = tokenize_mentions(mentions, tokenizer, cfg.max_input_len)
-    if files.get("ent_tokens_file") and os.path.exists(files["ent_tokens_file"]):
-        import numpy as np
+    import numpy as np
 
+    if files.get("ent_tokens_file") and os.path.exists(files["ent_tokens_file"]):
         ent_toks = np.load(files["ent_tokens_file"]).astype(np.int32)
     else:
         ent_toks = tokenize_entities(entities, tokenizer, cfg.max_label_len)
-    import numpy as np
-
     return EntLinkDataset(
         mention_tokens=ment_toks,
         entity_tokens=ent_toks,

@@ -82,14 +82,18 @@ def write_world_files(
             fout.write(
                 json.dumps(
                     {
+                        # canonical PROCESSED (BLINK) schema — what the
+                        # preprocessor and the reference's processed
+                        # files use; load_mentions also accepts the raw
+                        # keys (text/label_document_id/corpus/category)
                         "mention_id": m["mention_id"],
-                        "text": m["mention"],
+                        "mention": m["mention"],
                         "context_left": m["context_left"],
                         "context_right": m["context_right"],
-                        "context_document_id": m["context_doc_id"],
-                        "label_document_id": f"E{m['label_id']}",
-                        "corpus": world,
-                        "category": m["type"],
+                        "context_doc_id": m["context_doc_id"],
+                        "label_id": f"E{m['label_id']}",
+                        "world": world,
+                        "type": m["type"],
                     }
                 )
                 + "\n"

@@ -47,17 +47,20 @@ class TfidfVectorizer:
     def transform(self, docs: Sequence[str]) -> np.ndarray:
         """Dense (n_docs, vocab) l2-normalized tf-idf matrix."""
         assert self.idf_ is not None, "fit first"
-        out = np.zeros((len(docs), len(self.vocabulary_)), np.float64)
+        # accumulate directly at the target dtype: a float64 staging
+        # matrix doubled peak memory at ZeShEL scale (104k entities x
+        # 100k+ terms); sklearn's reference path is f32 throughout
+        out = np.zeros((len(docs), len(self.vocabulary_)), self.dtype)
         for i, doc in enumerate(docs):
             for t in self._tokenize(doc):
                 j = self.vocabulary_.get(t)
                 if j is not None:
                     out[i, j] += 1.0
-        out *= self.idf_[None, :]
-        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        out *= self.idf_[None, :].astype(self.dtype)
+        norms = np.linalg.norm(out, axis=1, keepdims=True).astype(self.dtype)
         norms[norms == 0] = 1.0
         out /= norms
-        return out.astype(self.dtype)
+        return out
 
     def fit_transform(self, corpus: Sequence[str]) -> np.ndarray:
         return self.fit(corpus).transform(corpus)

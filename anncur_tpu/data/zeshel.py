@@ -143,20 +143,29 @@ def load_mentions(
             if not line:
                 continue
             rec = json.loads(line)
-            label_doc_id = rec["label_document_id"]
+            # primary schema: the processed BLINK files this pipeline's
+            # own preprocessor (and the reference's) writes — keys
+            # label_id / mention / type (reference load_mentions reads
+            # record['label_id'], utils/data_process.py:106-116).
+            # Fallback: raw-zeshel keys (label_document_id / text /
+            # category / corpus) for unprocessed dumps.
+            label_doc_id = rec.get("label_id", rec.get("label_document_id"))
             if label_doc_id not in kb_id_to_local_id:
                 LOGGER.warning("mention label %s not in entity set; skipping", label_doc_id)
                 continue
+            mention_text = rec.get("mention", rec.get("text"))
             mentions.append(
                 {
-                    "mention": rec["text"].lower(),
+                    "mention": mention_text.lower(),
                     "mention_id": rec.get("mention_id"),
                     "context_left": rec["context_left"].lower(),
                     "context_right": rec["context_right"].lower(),
-                    "context_doc_id": rec.get("context_document_id"),
-                    "type": rec.get("category"),
+                    "context_doc_id": rec.get(
+                        "context_doc_id", rec.get("context_document_id")
+                    ),
+                    "type": rec.get("type", rec.get("category")),
                     "label_id": kb_id_to_local_id[label_doc_id],
-                    "world": rec.get("corpus"),
+                    "world": rec.get("world", rec.get("corpus")),
                 }
             )
     return mentions

@@ -39,7 +39,15 @@ def pool_sequence(
 
 
 def _first_position(token_ids: jax.Array, tag_id: int) -> jax.Array:
-    """Index of the first occurrence of tag_id per row (0 if absent)."""
+    """Index of the first occurrence of tag_id per row.
+
+    A row WITHOUT the tag resolves to position 0 (CLS): argmax of an
+    all-zero mask. That substitutes the CLS embedding silently — a
+    data-dependent raise is impossible under jit, and the tokenization
+    builders always emit the tags within budget
+    (get_context_representation / get_candidate_representation), so an
+    absent tag means corrupt input; callers that cannot guarantee tags
+    should validate host-side first."""
     return jnp.argmax((token_ids == tag_id).astype(jnp.int32), axis=1)
 
 

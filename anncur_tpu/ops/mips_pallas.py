@@ -103,7 +103,8 @@ def _mips_kernel(q_ref, item_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k, tile
         acc_i[:] = jnp.zeros_like(acc_i)
 
     scores = jnp.dot(
-        q_ref[:], item_ref[:].T, preferred_element_type=jnp.float32
+        q_ref[:], item_ref[:].T, preferred_element_type=jnp.float32,
+        precision="highest",  # score-path matmul rule (CLAUDE.md)
     )  # (q, tile)
     col = t * tile + lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < n_valid, scores, NEG_INF_F32)

@@ -179,3 +179,38 @@ def test_context_rep_matches_reference_exec(
     from anncur_tpu.data.tokenization import get_context_representation_ids
 
     assert get_context_representation_ids(sample, tokenizer, max_len) == theirs["ids"]
+
+
+def test_load_mentions_processed_blink_schema(tmp_path):
+    """The PROCESSED mention schema (what cli/preprocess_zeshel.py and
+    the reference's pipeline write: mention/label_id/type keys) must
+    load — load_mentions previously read only the raw-zeshel keys, so
+    the real preprocess -> train pipeline crashed with KeyError."""
+    import json as _json
+
+    from anncur_tpu.data.zeshel import load_entities, load_mentions
+
+    ent_file = tmp_path / "ents.json"
+    with open(ent_file, "w") as fout:
+        for i in range(3):
+            fout.write(_json.dumps({"document_id": f"E{i}", "title": f"t{i}", "text": f"d{i}"}) + "\n")
+    kb2local, ents = load_entities(str(ent_file))
+
+    ment_file = tmp_path / "ments.jsonl"
+    with open(ment_file, "w") as fout:
+        # processed/BLINK schema
+        fout.write(_json.dumps({
+            "mention": "Alpha", "mention_id": "m0", "context_left": "L",
+            "context_right": "R", "context_doc_id": "d", "type": "w",
+            "label_id": "E1",
+        }) + "\n")
+        # raw-zeshel schema still accepted
+        fout.write(_json.dumps({
+            "text": "Beta", "mention_id": "m1", "context_left": "l",
+            "context_right": "r", "context_document_id": "d", "category": "w",
+            "label_document_id": "E2", "corpus": "w",
+        }) + "\n")
+    ments = load_mentions(str(ment_file), kb2local)
+    assert len(ments) == 2
+    assert ments[0]["mention"] == "alpha" and ments[0]["label_id"] == 1
+    assert ments[1]["mention"] == "beta" and ments[1]["label_id"] == 2
