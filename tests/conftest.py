@@ -6,22 +6,22 @@ so multi-chip code is exercised in CI without TPU hardware.
 """
 
 import os
+import sys
 
-# NB: in this environment JAX_PLATFORMS=axon is force-set by the shell
-# profile and the env var route is unreliable — jax.config.update is the
-# authoritative override, applied before any backend initialization.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 os.environ.setdefault("ANNCUR_ALLOW_CPU", "1")  # CLIs' accelerator guard
 
-import jax  # noqa: E402
+# the one shared implementation of the force-CPU recipe (CLAUDE.md):
+# replaces any preexisting device-count flag instead of keeping a stale
+# value that would silently shrink the mesh
+from anncur_tpu.utils.platform import force_cpu_devices  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+force_cpu_devices(8)
+
+import jax  # noqa: E402
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -19,16 +19,14 @@ import os
 import sys
 
 backend = sys.argv[1] if len(sys.argv) > 1 else "cpu"
-if backend == "cpu":
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    ).strip()
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-
 if backend == "cpu":
-    jax.config.update("jax_platforms", "cpu")
+    from anncur_tpu.utils.platform import force_cpu_devices
+
+    force_cpu_devices(8)
+
+import jax
 
 import jax.numpy as jnp
 import numpy as np
@@ -85,8 +83,11 @@ for model_type, model in [
 # the TPU matmul noise floor (measured sigma2/sigma1 = 0.003) — recall on
 # such a matrix measures cross-program rounding, not the product.
 ce = CrossEncoder(spec=spec, cross_enc_type="default", compute_dtype=jnp.float32)
+# batch FIXED at 16 (not 2*n_dev): with the same 120 pinned steps a
+# device-dependent batch would feed the 1-chip tpu run 8x fewer pairs
+# and leave its matrix near the noise floor the training exists to escape
 cfg = Config(model_type="cross_enc", loss_type="ce", num_negs=4,
-             train_batch_size=2 * n_dev, grad_acc_steps=1,
+             train_batch_size=16, grad_acc_steps=1,
              learning_rate=1e-3, num_epochs=40,
              base_res_dir="/tmp/drive_r2_ce_train")
 tr = Trainer(cfg, ce, mesh=mesh, total_steps=120)
@@ -118,6 +119,7 @@ retr = CurRetriever.build(
     n_anchor_items=24,
     builder=builder,
     max_query_len=ment.shape[1],
+    train_scores=R_probe,  # already computed for the spectrum probe
 )
 # brute-force exact scores for the test queries
 test_q = np.asarray(ment[n_train:n_train + 8])

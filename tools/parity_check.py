@@ -256,11 +256,15 @@ def main(argv=None):
         ref_recall = _reference_inductive_cur(
             CURApprox, torch.tensor(train), torch.tensor(test), anchor_ents, top_k, top_k_retvr
         )
+        # pin the pinv cutoff to the reference's (np.linalg.pinv default
+        # on the (n_train, n_anc) anchor block) — like the transductive
+        # leg; otherwise the parity column compares cutoffs, not math
+        rcond_ref_ind = max(train.shape[0], n_anc) * float(np.finfo(np.float64).eps)
         with tempfile.TemporaryDirectory() as td:
             res = run_inductive_eval(
                 test, train, td, method="cur", seed=args.seed,
                 top_k_vals=[top_k], top_k_retvr_vals=[top_k_retvr],
-                n_ent_anchors_vals=[n_anc],
+                n_ent_anchors_vals=[n_anc], rcond=rcond_ref_ind,
             )
         ours_recall = res[f"top_k={top_k}"][f"k_retvr={top_k_retvr}"][f"anc_n_e={n_anc}"][
             "exact_vs_reranked_approx_retvr~common_frac_mean"
