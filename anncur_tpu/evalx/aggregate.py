@@ -93,7 +93,7 @@ def recall_vs_cost_table(
     (reference cost model: compile_...py:247-258)."""
     rows = []
     tree = result.get(f"top_k={top_k}", {})
-    budget_method = any(tag in method for tag in ("cur", "fixed_anc_ent", "axn"))
+    budget_method = _is_budget_method(method)  # one detection site, case-insensitive
     for kr_key, by_anchor in tree.items():
         kr = int(kr_key.split("=")[1])
         for anc_key, metrics in by_anchor.items():

@@ -247,10 +247,14 @@ def plot_ce_baselines_from_pivot(
     xs_all = [x for x in x_vals if any(x in y_vals[m] for m in labels)]
     width = 0.8 / max(len(labels), 1)
     for mi, m in enumerate(labels):
-        offs = [i + mi * width for i in range(len(xs_all))]
+        # plot only cells the method actually has: a 0.0 stand-in bar is
+        # indistinguishable from a measured 0% recall
+        pts = [(i, y_vals[m][x]) for i, x in enumerate(xs_all) if x in y_vals[m]]
+        if not pts:
+            continue
         ax.bar(
-            offs,
-            [y_vals[m].get(x, 0.0) for x in xs_all],
+            [i + mi * width for i, _ in pts],
+            [v for _, v in pts],
             width=width,
             label=m,
         )

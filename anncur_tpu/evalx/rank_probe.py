@@ -20,7 +20,11 @@ LOGGER = logging.getLogger(__name__)
 def matrix_rank_report(matrix: np.ndarray, rcond: Optional[float] = None) -> Dict:
     """Numerical rank + singular-value spectrum summary."""
     mat = np.asarray(matrix, np.float32)
-    sv = np.asarray(jnp.linalg.svd(jnp.asarray(mat), compute_uv=False))
+    # host numpy SVD: the input is host-resident and the report is
+    # host-side — jnp here ran on the force-set axon TPU backend, paying
+    # a 60-90s remote compile per matrix shape and shipping the whole
+    # matrix over the tunnel (and contending for the single-process chip)
+    sv = np.linalg.svd(mat, compute_uv=False)
     if rcond is None:
         rcond = max(mat.shape) * np.finfo(np.float32).eps
     cutoff = rcond * sv[0] if len(sv) else 0.0

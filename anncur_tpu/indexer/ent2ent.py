@@ -28,18 +28,32 @@ LOGGER = logging.getLogger(__name__)
 def kmeanspp_anchor_ids(
     embeds: np.ndarray, n_anchors: int, seed: int = 0
 ) -> np.ndarray:
-    """k-means++ seeding: far-apart representatives of the embedding set."""
+    """k-means++ seeding: far-apart representatives of the embedding set.
+
+    Degenerate inputs handled: n_anchors <= 0 returns an empty array;
+    when every remaining point duplicates a chosen one (d2 all zero —
+    fewer distinct embeddings than requested anchors) the remaining
+    slots are filled with the lowest unchosen indices instead of
+    crashing on a zero probability vector."""
     rng = np.random.default_rng(seed)
     n = embeds.shape[0]
     n_anchors = min(n_anchors, n)
+    if n_anchors <= 0:
+        return np.zeros((0,), np.int64)
     chosen = [int(rng.integers(n))]
     d2 = np.full(n, np.inf)
     for _ in range(n_anchors - 1):
         last = embeds[chosen[-1]]
         d2 = np.minimum(d2, np.sum((embeds - last) ** 2, axis=1))
-        probs = d2 / max(d2.sum(), 1e-30)
-        chosen.append(int(rng.choice(n, p=probs)))
-    return np.asarray(sorted(set(chosen)), np.int64)
+        total = float(d2.sum())
+        if total <= 0.0:
+            break  # only duplicates remain
+        chosen.append(int(rng.choice(n, p=d2 / total)))
+    uniq = sorted(set(chosen))
+    if len(uniq) < n_anchors:
+        fill = (i for i in range(n) if i not in set(uniq))
+        uniq += [next(fill) for _ in range(n_anchors - len(uniq))]
+    return np.asarray(sorted(uniq), np.int64)
 
 
 def build_ent_to_ent_scores(

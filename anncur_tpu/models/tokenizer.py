@@ -150,9 +150,15 @@ class WordPieceTokenizer:
         return cls(vocab, **kw)
 
     def save_vocab(self, path: str) -> None:
+        """Line index == token id. Ids with no token (a gapped vocab)
+        are written as blank lines so a save/load round trip preserves
+        EVERY id — writing tokens consecutively silently shifted all ids
+        after a gap, corrupting encodings against checkpoints built with
+        the original ids."""
+        by_id = {i: t for t, i in self.vocab.items()}
         with open(path, "w", encoding="utf-8") as fout:
-            for tok, _ in sorted(self.vocab.items(), key=lambda kv: kv[1]):
-                fout.write(tok + "\n")
+            for i in range(max(by_id) + 1 if by_id else 0):
+                fout.write(by_id.get(i, "") + "\n")
 
     # ---------------- tokenize ----------------------------------------- #
 

@@ -48,7 +48,19 @@ class TopKCheckpointManager:
         self.entries: List[Dict] = []
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as fin:
-                self.entries = json.load(fin).get("topk", [])
+                manifest = json.load(fin)
+            old_metric = manifest.get("metric", metric)
+            if old_metric != metric:
+                # resuming with a DIFFERENT ckpt metric: old values would
+                # compete numerically against the new metric's values and
+                # corrupt top-k retention — start the top-k list fresh
+                LOGGER.warning(
+                    "manifest metric %r != configured %r; ignoring %d old "
+                    "top-k entries", old_metric, metric,
+                    len(manifest.get("topk", [])),
+                )
+            else:
+                self.entries = manifest.get("topk", [])
 
     def _better(self, a: float, b: float) -> bool:
         return a < b if self.mode == "min" else a > b
