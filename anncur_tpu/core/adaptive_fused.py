@@ -1,0 +1,264 @@
+"""Fused (single-jit-program) adaptive multi-round CUR retrieval.
+
+Device-side re-design of core/adaptive.py (ADACUR-style, arXiv
+2305.02996): the host version round-trips through the batched CE scorer
+per round and pays one f64 host pinv PER QUERY once scored sets diverge.
+Here the whole query — round 0 anchor scoring, per-round latent
+completion, candidate picking, per-query CE scoring, final top-k — is a
+single jit program with the rounds unrolled (n_rounds is small and
+static), so one dispatch per query batch.
+
+The per-query pseudoinverse is replaced by a batched ridge solve using
+the push-through identity
+
+    vals @ pinv(C) @ train  ==  vals @ (CᵀC + λI)⁻¹ Cᵀ @ train   (λ→0)
+
+with C = train[:, scored_ids] per query: one (q, S, S) Gram build +
+batched Cholesky-free ``jnp.linalg.solve`` — all MXU work, no host
+round trips, no f64. λ is relative to the Gram trace (ridge_rel) and
+plays the role of the pinv rcond cutoff: it regularizes the near-null
+directions that amplify matmul noise (see ops/pinv.py::noise_rcond for
+the same issue in the fixed-anchor path).
+
+Unlike the host version, candidates are scored PER QUERY (the rerank
+scan gathers each query's own candidate tokens), so exactly
+``total_budget`` CE calls are paid per query — the host version scored
+the union of all queries' picks and dropped the rest.
+
+Cost accounting matches the reference's axis (CE calls per query,
+run_retrieval_eval_wrt_exact_crossenc.py:480-481).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def split_rounds(total_budget: int, n_rounds: int) -> Tuple[int, int, int]:
+    """(first_round, per_round, n_rounds) with the same split as
+    core/adaptive.py::adaptive_cur_query: later rounds get
+    budget//n_rounds each, round 0 the remainder."""
+    n_rounds = max(1, min(n_rounds, total_budget))
+    per_round = max(1, total_budget // n_rounds)
+    first_round = total_budget - per_round * (n_rounds - 1)
+    return first_round, per_round, n_rounds
+
+
+def ridge_complete(
+    train: jax.Array,  # (n_train, m) f32
+    ids: jax.Array,  # (q, S) int32 per-query scored item ids
+    vals: jax.Array,  # (q, S) f32 exact scores at those ids
+    ridge_rel: float = 1e-6,
+) -> jax.Array:
+    """(q, m) approximate all-item scores: each query's exact scores at
+    its own scored set, completed through the train-matrix latent space.
+
+    All matmuls run at precision='highest' — the TPU bf16 default
+    collapses CUR recall (CLAUDE.md, measured)."""
+    s = ids.shape[1]
+    c = jnp.moveaxis(jnp.take(train, ids, axis=1), 1, 0)  # (q, n_train, S)
+    gram = jnp.einsum("qns,qnt->qst", c, c, precision="highest")
+    lam = ridge_rel * (jnp.trace(gram, axis1=1, axis2=2) / s)
+    gram = gram + lam[:, None, None] * jnp.eye(s, dtype=gram.dtype)
+    z = jnp.linalg.solve(gram, vals[..., None])[..., 0]  # (q, S)
+    w = jnp.einsum("qs,qns->qn", z, c, precision="highest")  # (q, n_train)
+    return jnp.einsum("qn,nm->qm", w, train, precision="highest")
+
+
+def adaptive_rounds(
+    score_fn: Callable[[jax.Array], jax.Array],
+    # score_fn(ids (q, k) int32) -> (q, k) exact scores; jittable; called
+    # once per round with static k
+    train: jax.Array,  # (n_train, m)
+    anchors0: jax.Array,  # (first_round,) int32 shared round-0 anchors
+    q: int,
+    total_budget: int,
+    n_rounds: int,
+    top_k: int,
+    ridge_rel: float = 1e-6,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pure traced body (call under jit): returns
+    (top_scores (q, top_k), top_ids (q, top_k), scored_ids (q, budget)).
+
+    Final ranking = exact scores over everything scored (same
+    retrieve-then-rerank semantics as the host version)."""
+    m = train.shape[1]
+    total_budget = min(total_budget, m)
+    first, per, n_rounds = split_rounds(total_budget, n_rounds)
+
+    ids = jnp.broadcast_to(anchors0[None, :first], (q, first)).astype(jnp.int32)
+    vals = score_fn(ids)
+
+    for _ in range(n_rounds - 1):
+        approx = ridge_complete(train, ids, vals, ridge_rel)
+        # never re-pick an already-scored item
+        approx = approx.at[jnp.arange(q)[:, None], ids].set(-jnp.inf)
+        _, next_ids = jax.lax.top_k(approx, per)  # (q, per)
+        next_ids = next_ids.astype(jnp.int32)
+        next_vals = score_fn(next_ids)
+        ids = jnp.concatenate([ids, next_ids], axis=1)
+        vals = jnp.concatenate([vals, next_vals], axis=1)
+
+    top_scores, order = jax.lax.top_k(vals, min(top_k, vals.shape[1]))
+    top_ids = jnp.take_along_axis(ids, order, axis=1)
+    return top_scores, top_ids, ids
+
+
+@lru_cache(maxsize=32)
+def _oracle_fn(budget: int, n_rounds: int, top_k: int, ridge_rel: float):
+    """jitted oracle-scorer engine (scores come from a precomputed full
+    matrix — the eval setting, no encoder)."""
+
+    def fn(full, train, anchors0):
+        score = lambda ids: jnp.take_along_axis(full, ids, axis=1)
+        return adaptive_rounds(
+            score, train, anchors0, full.shape[0], budget, n_rounds, top_k, ridge_rel
+        )
+
+    return jax.jit(fn)
+
+
+def adaptive_topk_oracle(
+    full_scores: np.ndarray,  # (q, m) exact scores (the eval oracle)
+    train_scores: np.ndarray,  # (n_train, m)
+    total_budget: int,
+    n_rounds: int = 3,
+    top_k: int = 10,
+    seed: int = 0,
+    ridge_rel: float = 1e-6,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run the fused engine against a precomputed score matrix (for
+    recall evaluation / budget search — mirrors
+    core/adaptive.py::adaptive_cur_query's oracle use)."""
+    full = jnp.asarray(full_scores, jnp.float32)
+    train = jnp.asarray(train_scores, jnp.float32)
+    m = full.shape[1]
+    first, _, _ = split_rounds(min(total_budget, m), n_rounds)
+    rng = np.random.default_rng(seed)
+    anchors0 = jnp.asarray(
+        sorted(rng.choice(m, size=first, replace=False)), jnp.int32
+    )
+    s, i, scored = _oracle_fn(min(total_budget, m), n_rounds, top_k, ridge_rel)(
+        full, train, anchors0
+    )
+    return np.asarray(s), np.asarray(i), np.asarray(scored)
+
+
+def fixed_anchor_recall(
+    full_scores: np.ndarray,
+    train_scores: np.ndarray,
+    n_anchors: int,
+    top_k_retvr: int,
+    top_k: int,
+    seed: int = 0,
+) -> float:
+    """recall@top_k of the fixed-anchor CUR path at cost
+    n_anchors + top_k_retvr CE calls/query (the round-2 headline path)."""
+    from anncur_tpu.core.cur import build_cur
+    from anncur_tpu.core.metrics import topk_overlap_frac
+
+    full = np.asarray(full_scores, np.float32)
+    train = np.asarray(train_scores, np.float32)
+    n_q, m = full.shape
+    exact_top = np.argsort(-full, axis=1)[:, :top_k]
+    rng = np.random.default_rng(seed)
+    anchors = np.asarray(sorted(rng.choice(m, size=min(n_anchors, m), replace=False)))
+    index = build_cur(
+        rows=train,
+        cols=train[:, anchors],
+        row_idxs=np.arange(train.shape[0]),
+        col_idxs=anchors,
+        approx_preference="rows",
+        validate=False,
+    )
+    approx = np.asarray(index.get_complete_row(jnp.asarray(full[:, anchors])))
+    cand = np.argsort(-approx, axis=1)[:, :top_k_retvr]
+    reranked = []
+    for i in range(n_q):
+        vals = full[i, cand[i]]
+        reranked.append(cand[i][np.argsort(-vals)[:top_k]])
+    return float(
+        np.asarray(
+            topk_overlap_frac(jnp.asarray(np.stack(reranked)), jnp.asarray(exact_top))
+        ).mean()
+    )
+
+
+def adaptive_recall_oracle(
+    full_scores: np.ndarray,
+    train_scores: np.ndarray,
+    total_budget: int,
+    n_rounds: int = 3,
+    top_k: int = 10,
+    seed: int = 0,
+    ridge_rel: float = 1e-6,
+) -> float:
+    """recall@top_k of the fused adaptive engine at the given budget."""
+    from anncur_tpu.core.metrics import topk_overlap_frac
+
+    full = np.asarray(full_scores, np.float32)
+    exact_top = np.argsort(-full, axis=1)[:, :top_k]
+    _, ids, _ = adaptive_topk_oracle(
+        full, train_scores, total_budget, n_rounds, top_k, seed, ridge_rel
+    )
+    return float(
+        np.asarray(topk_overlap_frac(jnp.asarray(ids), jnp.asarray(exact_top))).mean()
+    )
+
+
+def matched_recall_budget(
+    full_scores: np.ndarray,
+    train_scores: np.ndarray,
+    fixed_n_anchors: int = 500,
+    fixed_top_k_retvr: int = 100,
+    top_k: int = 10,
+    n_rounds: int = 3,
+    seeds: Tuple[int, ...] = (0, 1, 2),
+    budgets: Tuple[int, ...] = (40, 60, 80, 120, 160, 240, 320, 480, 600),
+    ridge_rel: float = 1e-6,
+) -> dict:
+    """Find the smallest adaptive budget whose mean recall@top_k matches
+    (>=) the fixed-anchor path at cost = fixed_n_anchors +
+    fixed_top_k_retvr. This is the honest route past a CE-calls/s
+    roofline: equal recall at budget b* multiplies effective q/s by
+    (fixed cost / b*). Returns the full sweep for the evidence artifact."""
+    fixed = float(
+        np.mean(
+            [
+                fixed_anchor_recall(
+                    full_scores, train_scores, fixed_n_anchors, fixed_top_k_retvr, top_k, s
+                )
+                for s in seeds
+            ]
+        )
+    )
+    sweep = {}
+    matched = None
+    for b in sorted(budgets):
+        r = float(
+            np.mean(
+                [
+                    adaptive_recall_oracle(
+                        full_scores, train_scores, b, n_rounds, top_k, s, ridge_rel
+                    )
+                    for s in seeds
+                ]
+            )
+        )
+        sweep[b] = r
+        if matched is None and r >= fixed:
+            matched = b
+    return {
+        "fixed_cost": fixed_n_anchors + fixed_top_k_retvr,
+        "fixed_recall": fixed,
+        "adaptive_sweep": sweep,
+        "matched_budget": matched,
+        "top_k": top_k,
+        "n_rounds": n_rounds,
+        "seeds": list(seeds),
+    }

@@ -136,25 +136,38 @@ class Trainer:
 
     # ---------------- losses ------------------------------------------ #
 
-    def _loss_fn(self, params, batch, rng) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    def _loss_fn(
+        self, params, batch, rng, train: bool = True
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """``train=False`` runs the forward in eval mode (dropout OFF, no
+        rng) — dev metrics that drive checkpoint selection must be
+        deterministic and unbiased, matching the reference's PL eval-mode
+        validation (models/biencoder.py:685-719). In train mode each
+        encode site gets its OWN rng so input/pos/neg dropout masks are
+        decorrelated."""
         cfg = self.config
+        if train:
+            # 3 independent streams: input / pos-or-pospairs / negs
+            r_in, r_pos, r_neg = jax.random.split(rng, 3)
+        else:
+            r_in = r_pos = r_neg = None
         if self.is_bienc:
             enc = self.model
             if "target_scores" in batch:  # distillation
-                inp = enc.encode_input(params, batch["input"], train=True, rng=rng)
+                inp = enc.encode_input(params, batch["input"], train=train, rng=r_in)
                 b, n, l = batch["labels"].shape
                 lab = enc.encode_label(
-                    params, batch["labels"].reshape(b * n, l), train=True, rng=rng
+                    params, batch["labels"].reshape(b * n, l), train=train, rng=r_pos
                 ).reshape(b, n, -1)
                 pred = jnp.sum(lab * inp[:, None, :], axis=2)
                 loss = distill_loss(pred, batch["target_scores"])
                 return loss, {"loss": loss}
-            inp = enc.encode_input(params, batch["input"], train=True, rng=rng)
-            pos = enc.encode_label(params, batch["pos"], train=True, rng=rng)
+            inp = enc.encode_input(params, batch["input"], train=train, rng=r_in)
+            pos = enc.encode_label(params, batch["pos"], train=train, rng=r_pos)
             if "negs" in batch:
                 b, n, l = batch["negs"].shape
                 neg = enc.encode_label(
-                    params, batch["negs"].reshape(b * n, l), train=True, rng=rng
+                    params, batch["negs"].reshape(b * n, l), train=train, rng=r_neg
                 ).reshape(b, n, -1)
                 loss = bienc_loss_w_negs(inp, pos, neg, cfg.loss_type, cfg.hinge_margin)
                 pos_scores = jnp.sum(inp * pos, axis=1)
@@ -165,10 +178,10 @@ class Trainer:
         # cross-encoder
         enc = self.model
         fse = getattr(self, "_fse", None) or cfg.max_input_len
-        pos_scores = enc.score(params, batch["pos_pairs"], fse, train=True, rng=rng)
+        pos_scores = enc.score(params, batch["pos_pairs"], fse, train=train, rng=r_pos)
         b, n, l = batch["neg_pairs"].shape
         neg_scores = enc.score(
-            params, batch["neg_pairs"].reshape(b * n, l), fse, train=True, rng=rng
+            params, batch["neg_pairs"].reshape(b * n, l), fse, train=train, rng=r_neg
         ).reshape(b, n)
         loss = crossenc_loss(pos_scores, neg_scores, cfg.loss_type)
         return loss, {"loss": loss, "mrr": mrr_from_scores(pos_scores, neg_scores)}
@@ -183,17 +196,24 @@ class Trainer:
         def step_fn(state: TrainState, batch):
             rng, new_rng = jax.random.split(state.rng)
 
-            def micro(carry, mb):
+            def micro(carry, xs):
+                mb, idx = xs
                 grads_acc, loss_acc = carry
+                # fold the micro-batch index into the step rng: every
+                # micro-batch gets an independent dropout mask (sharing
+                # one rng across the accumulation scan made all micros
+                # reuse identical masks)
                 (loss, _aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-                    state.params, mb, rng
+                    state.params, mb, jax.random.fold_in(rng, idx)
                 )
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-                return (grads_acc, loss_acc + loss), None
+                return (grads_acc, loss_acc + loss), loss
 
             zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
             n_micro = jax.tree_util.tree_leaves(batch)[0].shape[0]
-            (grads, loss_sum), _ = jax.lax.scan(micro, (zeros, 0.0), batch)
+            (grads, loss_sum), micro_losses = jax.lax.scan(
+                micro, (zeros, 0.0), (batch, jnp.arange(n_micro))
+            )
             grads = jax.tree_util.tree_map(lambda g: g / n_micro, grads)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
@@ -203,7 +223,7 @@ class Trainer:
                 step=state.step + 1,
                 rng=new_rng,
             )
-            return new_state, {"loss": loss_sum / n_micro}
+            return new_state, {"loss": loss_sum / n_micro, "micro_losses": micro_losses}
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -251,12 +271,17 @@ class Trainer:
 
     def _get_eval_fn(self, fse: Optional[int]):
         if fse not in self._eval_fns:
-            self._eval_fns[fse] = jax.jit(lambda p, b, r: self._loss_fn(p, b, r))
+            # eval mode: dropout OFF, no rng — dev_loss/dev_mrr must be
+            # the deterministic no-dropout forward (reference validates
+            # in PL eval mode, models/biencoder.py:685-704; round-2 ran
+            # dev eval with dropout ON, biasing checkpoint selection)
+            self._eval_fns[fse] = jax.jit(
+                lambda p, b: self._loss_fn(p, b, None, train=False)
+            )
         return self._eval_fns[fse]
 
     def evaluate(self, state: TrainState, batches: Iterator[Dict]) -> Dict[str, float]:
         losses, mrrs = [], []
-        rng = jax.random.PRNGKey(0)
         for batch in batches:
             if "first_segment_end" in batch:
                 self._fse = int(batch["first_segment_end"])
@@ -266,7 +291,7 @@ class Trainer:
                 for k, v in batch.items()
                 if k != "first_segment_end"
             }
-            loss, aux = eval_fn(state.params, b, rng)
+            loss, aux = eval_fn(state.params, b)
             losses.append(float(loss))
             if "mrr" in aux:
                 mrrs.append(float(aux["mrr"]))
