@@ -37,6 +37,29 @@ from anncur_tpu.models.tokenizer import WordPieceTokenizer
 LOGGER = logging.getLogger(__name__)
 
 
+def _make_pair_scorer(ce: CrossEncoder, lm: int, le: int, pair_pad_multiple: int):
+    """(c, width, Le) candidate tokens + (c, Lm) query block -> (c, width)
+    CE scores, used by every fused serving program.
+
+    NB: pair layout (broadcast-left / concat cand[:, :, 1:] / pad to
+    pair_len) must stay in lockstep with the offline builder and
+    evalx.retrieve_rerank._rerank_scan_fn — a layout change made in one
+    place silently diverges the others."""
+    raw_len = lm + le - 1
+    pad = min(pair_pad_multiple, ce.spec.max_position_embeddings)
+    pair_len = raw_len + ((-raw_len) % pad)
+
+    def score_pairs(p, m_blk, cand_toks, c, width):
+        left = jnp.broadcast_to(m_blk[:, None, :], (c, width, lm))
+        pairs = jnp.concatenate([left, cand_toks[:, :, 1:]], axis=-1).reshape(
+            c * width, raw_len
+        )
+        pairs = jnp.pad(pairs, ((0, 0), (0, pair_len - raw_len)))
+        return ce.score(p, pairs, first_segment_end=lm).reshape(c, width)
+
+    return score_pairs
+
+
 @dataclasses.dataclass
 class CurRetriever:
     """Serving-time CUR retriever over one item corpus."""
@@ -86,6 +109,7 @@ class CurRetriever:
     def __post_init__(self):
         self._fused_cache: Dict[tuple, object] = {}
         self._dev_consts = None
+        self._train_mat = None
         if self.item_ids is None:
             self.item_ids = np.arange(self.item_tokens.shape[0], dtype=np.int64)
         if self.next_item_id is None:
@@ -95,6 +119,7 @@ class CurRetriever:
         """Drop compiled programs + device constants after a corpus edit."""
         self._fused_cache = {}
         self._dev_consts = None
+        self._train_mat = None
 
     def _device_consts(self):
         if self._dev_consts is None:
@@ -385,9 +410,6 @@ class CurRetriever:
         ce = self.encoder
         k_i = len(self.anchor_item_ids)
         le = self.item_tokens.shape[1]
-        raw_len = lm + le - 1
-        pad = min(self.pair_pad_multiple, ce.spec.max_position_embeddings)
-        pair_len = raw_len + ((-raw_len) % pad)
         n_chunks = q_pad // chunk
         # rerank stage handles only top_k_retvr (<= k_i) candidates per
         # query, so it can take bigger query chunks: largest divisor of
@@ -397,19 +419,7 @@ class CurRetriever:
         r_chunk = max(d for d in range(1, min(r_target, q_pad) + 1) if q_pad % d == 0)
         n_r_chunks = q_pad // r_chunk
 
-        def score_pairs(p, m_blk, cand_toks, c, width):
-            """(c, width, Le) candidate tokens -> (c, width) CE scores.
-
-            NB: pair layout (broadcast-left / concat cand[:, :, 1:] /
-            pad-to-pair_len) must stay in lockstep with the offline
-            builder and evalx.retrieve_rerank._rerank_scan_fn — a layout
-            change made in one place silently diverges the others."""
-            left = jnp.broadcast_to(m_blk[:, None, :], (c, width, lm))
-            pairs = jnp.concatenate([left, cand_toks[:, :, 1:]], axis=-1).reshape(
-                c * width, raw_len
-            )
-            pairs = jnp.pad(pairs, ((0, 0), (0, pair_len - raw_len)))
-            return ce.score(p, pairs, first_segment_end=lm).reshape(c, width)
+        score_pairs = _make_pair_scorer(ce, lm, le, self.pair_pad_multiple)
 
         def fn(p, qtoks, items, anchor_ids, latent_cols):
             anchor_toks = jnp.take(items, anchor_ids, axis=0)  # (k_i, Le)
@@ -568,6 +578,111 @@ class CurRetriever:
             seed=seed,
         )
         return scores, self.item_ids[np.asarray(ids)]
+
+    # ------------- fused adaptive query (first-class serving mode) ----- #
+
+    def _train_matrix(self) -> jnp.ndarray:
+        """(n_train, n_items) train matrix on device: latent_rows @
+        latent_cols restores the training rows the index was built from
+        (anchor-row reconstruction is exact). Cached; invalidated on
+        corpus edits."""
+        if self._train_mat is None:
+            self._train_mat = jnp.asarray(self.index.reconstruct(), jnp.float32)
+        return self._train_mat
+
+    def _get_fused_adaptive_fn(
+        self, q_pad: int, lm: int, budget: int, n_rounds: int, top_k: int, ridge_rel: float
+    ):
+        """ONE jit program for the whole adaptive query batch: round-0
+        anchor scoring -> per-round ridge completion / candidate pick /
+        per-query CE scoring (rounds unrolled) -> final top-k over exact
+        scores. Replaces the host path's per-round dispatches and
+        per-query f64 pinvs (core/adaptive_fused.py docstring)."""
+        key = ("adaptive", q_pad, lm, budget, n_rounds, top_k, ridge_rel)
+        if key in self._fused_cache:
+            return self._fused_cache[key]
+        from anncur_tpu.core.adaptive_fused import adaptive_rounds
+
+        ce = self.encoder
+        le = self.item_tokens.shape[1]
+        score_pairs = _make_pair_scorer(ce, lm, le, self.pair_pad_multiple)
+
+        def fn(p, qtoks, items, train, anchors0):
+            def score_fn(ids):
+                width = ids.shape[1]
+                target = max(1, self._stage_batch(width))
+                chunk = max(
+                    d for d in range(1, min(target, q_pad) + 1) if q_pad % d == 0
+                )
+                nc = q_pad // chunk
+
+                def body(_, inp):
+                    m_blk, c_blk = inp
+                    cand_toks = jnp.take(items, c_blk, axis=0)  # (chunk, width, Le)
+                    return None, score_pairs(p, m_blk, cand_toks, chunk, width)
+
+                _, out = jax.lax.scan(
+                    body,
+                    None,
+                    (qtoks.reshape(nc, chunk, lm), ids.reshape(nc, chunk, width)),
+                )
+                return out.reshape(q_pad, width)
+
+            return adaptive_rounds(
+                score_fn, train, anchors0, q_pad, budget, n_rounds, top_k, ridge_rel
+            )
+
+        self._fused_cache[key] = jax.jit(fn)
+        return self._fused_cache[key]
+
+    def query_tokens_adaptive_fused(
+        self,
+        query_tokens: np.ndarray,  # (q, Lm)
+        total_budget: int = 200,
+        n_rounds: int = 3,
+        top_k: int = 10,
+        train_scores: Optional[np.ndarray] = None,
+        seed: int = 0,
+        ridge_rel: float = 1e-6,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Adaptive multi-round retrieval as ONE fused jit program per
+        batch — the production adaptive serving mode. Spends exactly
+        ``total_budget`` CE calls per query (candidates are gathered per
+        query inside the program; the host version scored a cross-query
+        union and dropped the waste). At matched recall this multiplies
+        effective q/s over the fixed-anchor path by
+        (fixed cost / matched budget) — see
+        core/adaptive_fused.py::matched_recall_budget and bench.py line 3.
+
+        ``ridge_rel`` plays the pinv-rcond role of the fixed path: raise
+        it toward ~1e-3 for matrices whose ranking signal sits near the
+        device matmul noise floor (see CurRetriever.build docstring)."""
+        from anncur_tpu.core.adaptive_fused import split_rounds
+
+        query_tokens = np.asarray(query_tokens, np.int32)
+        q, lm = query_tokens.shape
+        n_items = self.item_tokens.shape[0]
+        total_budget = min(total_budget, n_items)
+        first, per, n_rounds = split_rounds(total_budget, n_rounds)
+        # pad queries so every round's scan chunks evenly at the widest
+        # stage (round 0: `first` candidates per query)
+        chunk0 = max(1, min(self._stage_batch(max(first, per)), q))
+        q_pad = q + ((-q) % chunk0)
+        qtoks = np.zeros((q_pad, lm), np.int32)
+        qtoks[:q] = query_tokens
+        train = (
+            jnp.asarray(train_scores, jnp.float32)
+            if train_scores is not None
+            else self._train_matrix()
+        )
+        rng = np.random.default_rng(seed)
+        anchors0 = jnp.asarray(
+            sorted(rng.choice(n_items, size=first, replace=False)), jnp.int32
+        )
+        items, _, _ = self._device_consts()
+        fn = self._get_fused_adaptive_fn(q_pad, lm, total_budget, n_rounds, top_k, ridge_rel)
+        s, i, _ = fn(self.params, jnp.asarray(qtoks), items, train, anchors0)
+        return np.asarray(s)[:q], self.item_ids[np.asarray(i)[:q]]
 
     @property
     def cost_per_query(self) -> int:

@@ -1,0 +1,175 @@
+"""Fused (single-jit-program) adaptive retrieval: the batched ridge
+completion must match the host f64-pinv engine's recall, the budget
+accounting must be exact, and the CurRetriever serving mode must return
+exact CE scores."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anncur_tpu.core.adaptive import adaptive_cur_query
+from anncur_tpu.core.adaptive_fused import (
+    adaptive_recall_oracle,
+    adaptive_topk_oracle,
+    fixed_anchor_recall,
+    matched_recall_budget,
+    ridge_complete,
+    split_rounds,
+)
+
+
+def make_matrix(rng, n_q, n_train, n_items, rank, noise):
+    a = rng.standard_normal((n_q + n_train, rank)).astype(np.float32)
+    b = rng.standard_normal((rank, n_items)).astype(np.float32)
+    m = a @ b + noise * rng.standard_normal((n_q + n_train, n_items)).astype(np.float32)
+    return m[:n_q], m[n_q:]
+
+
+def test_split_rounds_matches_host_split():
+    for budget, rounds in [(60, 3), (80, 3), (7, 3), (20, 1), (2, 5)]:
+        first, per, nr = split_rounds(budget, rounds)
+        assert first + per * (nr - 1) == min(budget, budget)
+        assert first >= per >= 1
+
+
+def test_ridge_complete_matches_f64_pinv(rng):
+    """Push-through ridge solve vs the host engine's f64 pinv completion
+    on a well-conditioned low-rank matrix."""
+    from anncur_tpu.ops.pinv import pinv_f64
+
+    full, train = make_matrix(rng, 4, 50, 120, rank=10, noise=0.01)
+    ids = np.stack([np.sort(rng.choice(120, 30, replace=False)) for _ in range(4)])
+    vals = np.take_along_axis(full, ids, axis=1)
+
+    got = np.asarray(
+        ridge_complete(jnp.asarray(train), jnp.asarray(ids), jnp.asarray(vals))
+    )
+    train64 = train.astype(np.float64)
+    for i in range(4):
+        u = pinv_f64(train[:, ids[i]])
+        want = (vals[i].astype(np.float64) @ (u @ train64)).astype(np.float32)
+        # completions agree to f32-solve accuracy (ranking-level identical)
+        denom = np.abs(want).max()
+        assert np.abs(got[i] - want).max() / denom < 5e-3
+
+
+def test_fused_oracle_budget_and_exact_scores(rng):
+    full, train = make_matrix(rng, 8, 60, 200, rank=8, noise=0.05)
+    scores, ids, scored = adaptive_topk_oracle(
+        full, train, total_budget=60, n_rounds=3, top_k=5, seed=0
+    )
+    assert scores.shape == (8, 5) and ids.shape == (8, 5)
+    assert scored.shape == (8, 60)  # exactly budget CE calls per query
+    for i in range(8):
+        # no duplicate CE calls
+        assert len(set(scored[i].tolist())) == 60
+        np.testing.assert_allclose(scores[i], full[i, ids[i]], rtol=1e-5)
+    # low-rank + decent budget: top-1 found
+    exact_top1 = np.argmax(full, axis=1)
+    hit = np.mean([exact_top1[i] in set(ids[i]) for i in range(8)])
+    assert hit >= 0.75
+
+
+def test_fused_recall_matches_host_engine(rng):
+    """The fused ridge-solve engine must land within a few recall points
+    of the host f64-pinv engine at the same budget (hard regime where
+    adaptivity matters)."""
+    full, train = make_matrix(rng, 16, 80, 300, rank=40, noise=0.1)
+
+    def score_items(ids):
+        return full[:, ids]
+
+    _, host_ids, _ = adaptive_cur_query(
+        train, score_items, 300, total_budget=60, n_rounds=3, top_k=10, seed=0
+    )
+    exact_top = np.argsort(-full, axis=1)[:, :10]
+    from anncur_tpu.core.metrics import topk_overlap_frac
+
+    host_recall = float(
+        np.asarray(topk_overlap_frac(jnp.asarray(host_ids), jnp.asarray(exact_top))).mean()
+    )
+    fused_recall = adaptive_recall_oracle(full, train, 60, n_rounds=3, top_k=10, seed=0)
+    assert fused_recall >= host_recall - 0.06, (fused_recall, host_recall)
+
+
+def test_fused_beats_fixed_at_equal_budget_hard_regime(rng):
+    """The round-2 measured claim (recall 0.97 vs 0.56 at budget 80 on
+    rank-60 matrices) must hold for the fused engine too."""
+    full, train = make_matrix(rng, 16, 100, 400, rank=60, noise=0.05)
+    budget = 80
+    ada = adaptive_recall_oracle(full, train, budget, n_rounds=3, top_k=10, seed=0)
+    fixed = fixed_anchor_recall(full, train, budget // 2, budget - budget // 2, 10, seed=0)
+    assert ada >= fixed + 0.1, (ada, fixed)
+
+
+def test_matched_recall_budget_structure(rng):
+    full, train = make_matrix(rng, 12, 80, 300, rank=30, noise=0.05)
+    res = matched_recall_budget(
+        full,
+        train,
+        fixed_n_anchors=60,
+        fixed_top_k_retvr=20,
+        top_k=10,
+        n_rounds=3,
+        seeds=(0, 1),
+        budgets=(20, 40, 80),
+    )
+    assert res["fixed_cost"] == 80
+    assert 0.0 <= res["fixed_recall"] <= 1.0
+    assert set(res["adaptive_sweep"]) == {20, 40, 80}
+    # at EQUAL budget (80) adaptive must match fixed here -> a matched
+    # budget exists and is <= the fixed cost
+    assert res["matched_budget"] is not None and res["matched_budget"] <= 80
+
+
+def test_retriever_fused_adaptive_exact_scores(retriever_setup):
+    retriever, ment, full_scores, builder = retriever_setup
+    test_toks = ment[16:20]
+    scores, ids = retriever.query_tokens_adaptive_fused(
+        test_toks, total_budget=24, n_rounds=3, top_k=5, train_scores=full_scores[:16]
+    )
+    assert scores.shape == (4, 5) and ids.shape == (4, 5)
+    for i in range(4):
+        np.testing.assert_allclose(
+            scores[i], full_scores[16 + i, ids[i]], rtol=1e-4, atol=1e-4
+        )
+    # scores descending
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)
+
+
+def test_retriever_fused_adaptive_default_train_matrix(retriever_setup):
+    """train_scores defaults to the index's latent reconstruction."""
+    retriever, ment, full_scores, _ = retriever_setup
+    s, i = retriever.query_tokens_adaptive_fused(
+        ment[16:18], total_budget=16, n_rounds=2, top_k=3
+    )
+    assert s.shape == (2, 3)
+    for k in range(2):
+        np.testing.assert_allclose(
+            s[k], full_scores[16 + k, i[k]], rtol=1e-4, atol=1e-4
+        )
+
+
+@pytest.fixture(scope="module")
+def retriever_setup(mesh8):
+    from anncur_tpu.core.retriever import CurRetriever
+    from anncur_tpu.data.synthetic import make_tokenized_world
+    from anncur_tpu.indexer.score_matrix import ScoreMatrixBuilder
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.crossencoder import CrossEncoder
+
+    ment, ent, gt, tok = make_tokenized_world(
+        seed=9, n_ents=40, n_ments=24, max_ment_len=16, max_ent_len=16
+    )
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, max_position_embeddings=64)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(0))
+    builder = ScoreMatrixBuilder(ce, mesh8, ment_block=4, ent_block=8, pair_pad_multiple=32)
+    retriever = CurRetriever.build(
+        ce, params, tok, ment[:16], ent, n_anchor_items=12, builder=builder,
+        max_query_len=16,
+    )
+    full_scores = builder(params, ment, ent)
+    return retriever, ment, full_scores, builder
