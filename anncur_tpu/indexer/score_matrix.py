@@ -339,6 +339,85 @@ class ScoreMatrixBuilder:
         )
         return out
 
+    # ---------------- multi-host build -------------------------------- #
+
+    def build_multihost(
+        self,
+        params,
+        ment_tokens: np.ndarray,
+        ent_tokens: np.ndarray,
+        chunk_dir: str,
+        chunk_rows: int = 512,
+        progress_cb: Optional[Callable[[float], None]] = None,
+    ) -> Optional[np.ndarray]:
+        """Cross-process (DCN) build: each process computes a contiguous
+        mention range over its LOCAL devices and writes chunk files into
+        a per-process subdir of the shared ``chunk_dir``; after a global
+        barrier, process 0 combines and returns the full matrix (other
+        processes return None).
+
+        This is the SPMD form of the reference's SLURM mention-range
+        chunking + combiner (run_cross_encoder_for_ment_ent_matrix_
+        zeshel.py:294, combine_chunked_computations.py:125-250):
+        coordination stays filesystem-first, so a preempted process
+        resumes from its own chunks, and the per-process build keeps the
+        single-host fast path (entity shards over ICI, zero collectives
+        in the hot loop). Requires ``self.mesh`` to contain only
+        process-local devices and ``chunk_dir`` on a shared filesystem.
+        """
+        import os
+
+        from anncur_tpu.indexer.combine import combine_chunks
+        from anncur_tpu.parallel.multihost import barrier, process_range
+
+        pid, n_proc = jax.process_index(), jax.process_count()
+        not_local = [
+            d for d in self.mesh.devices.flat if d.process_index != pid
+        ]
+        if not_local:
+            raise ValueError(
+                "build_multihost needs a process-LOCAL mesh (each process "
+                f"builds its own mention range); mesh contains {len(not_local)} "
+                "remote devices. Use a global mesh only for training."
+            )
+        n_m = ment_tokens.shape[0]
+        start, end = process_range(n_m)
+        subdir = os.path.join(chunk_dir, f"proc{pid:04d}")
+        LOGGER.info(
+            "multihost build: process %d/%d owns mention rows [%d, %d)",
+            pid, n_proc, start, end,
+        )
+        if end > start:
+            self(
+                params,
+                ment_tokens[start:end],
+                ent_tokens,
+                chunk_dir=subdir,
+                chunk_rows=chunk_rows,
+                progress_cb=progress_cb,
+            )
+        else:  # more processes than rows: still participate in the barrier
+            os.makedirs(subdir, exist_ok=True)
+        with open(os.path.join(subdir, "_done.json"), "w") as f:
+            import json as _json
+
+            _json.dump({"row_start": start, "row_end": end}, f)
+        barrier("score_matrix_build_done")
+        if pid != 0:
+            return None
+        parts = []
+        for p in range(n_proc):
+            s, e = process_range(n_m, n_proc, p)
+            if e > s:
+                parts.append(
+                    combine_chunks(
+                        os.path.join(chunk_dir, f"proc{p:04d}"), n_ments=e - s
+                    )
+                )
+        out = np.concatenate(parts, axis=0)
+        assert out.shape == (n_m, ent_tokens.shape[0]), out.shape
+        return out
+
     # ---------------- paired embeddings mode -------------------------- #
 
     def paired_embeds(

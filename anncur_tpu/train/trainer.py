@@ -131,7 +131,14 @@ class Trainer:
             rng=k_train,
         )
         if self.mesh is not None:
-            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            if jax.process_count() > 1:
+                # device_put cannot target non-addressable devices; build
+                # the replicated global arrays from (identical) host values
+                from anncur_tpu.parallel.multihost import replicate_from_host
+
+                state = replicate_from_host(self.mesh, state)
+            else:
+                state = jax.device_put(state, NamedSharding(self.mesh, P()))
         return state
 
     # ---------------- losses ------------------------------------------ #
@@ -228,7 +235,14 @@ class Trainer:
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def _shard_batch(self, batch):
-        """Stack into (grad_acc, micro_b, ...) and shard micro batch dim."""
+        """Stack into (grad_acc, micro_b, ...) and shard micro batch dim.
+
+        Multi-host: when the mesh spans processes (jax.process_count()>1
+        after jax.distributed.initialize), ``batch`` is this process's
+        LOCAL portion — an equal split of the global batch — and the
+        global arrays are assembled from the per-process shards
+        (parallel/multihost.py). The jit train step is identical either
+        way; XLA routes the gradient all-reduce over ICI + DCN."""
         acc = max(1, self.config.grad_acc_steps)
         out = {}
         for k, v in batch.items():
@@ -241,14 +255,20 @@ class Trainer:
                 acc_eff, micro = 1, b
             else:
                 acc_eff = acc
-            v = v[: acc_eff * micro].reshape((acc_eff, micro) + v.shape[1:])
-            out[k] = jnp.asarray(v)
+            out[k] = v[: acc_eff * micro].reshape((acc_eff, micro) + v.shape[1:])
+        multi = self.mesh is not None and jax.process_count() > 1
         if self.mesh is not None:
             n_dev = self.mesh.shape.get("data", 1)
-            micro_b = jax.tree_util.tree_leaves(out)[0].shape[1] if out else 0
+            micro_local = jax.tree_util.tree_leaves(out)[0].shape[1] if out else 0
+            micro_b = micro_local * (jax.process_count() if multi else 1)
             if micro_b % max(n_dev, 1) == 0:
                 spec = P(None, "data")
             else:
+                if multi:
+                    raise ValueError(
+                        f"multi-host training requires the global micro-batch "
+                        f"({micro_b}) to divide the mesh data axis ({n_dev})"
+                    )
                 spec = P()
                 if micro_b not in self._warned_replicated:
                     self._warned_replicated.add(micro_b)
@@ -261,7 +281,17 @@ class Trainer:
                         n_dev,
                         n_dev,
                     )
-            out = jax.device_put(out, NamedSharding(self.mesh, spec))
+            if multi:
+                from anncur_tpu.parallel.multihost import global_batch_from_local
+
+                out = global_batch_from_local(self.mesh, out, spec)
+            else:
+                out = jax.device_put(
+                    {k: jnp.asarray(v) for k, v in out.items()},
+                    NamedSharding(self.mesh, spec),
+                )
+        else:
+            out = {k: jnp.asarray(v) for k, v in out.items()}
         if "first_segment_end" in batch:
             # static python int: pair layout is constant per dataset
             self._fse = int(batch["first_segment_end"])
