@@ -2,8 +2,16 @@
 
 Completes the production story: load encoder params + CUR index + item
 tokens, then answer queries from a JSONL file (or stdin lines formatted
-'mention<TAB>context_left<TAB>context_right') with top-k item ids at
-cost = n_anchors + top_k_retvr CE calls per query.
+'mention<TAB>context_left<TAB>context_right') with top-k item ids.
+
+Two serving modes (--mode):
+- fixed    — anchor-score -> latent-project -> retrieve -> exact rerank;
+             cost = n_anchors + top_k_retvr CE calls per query.
+- adaptive — fused multi-round engine (core/adaptive_fused.py); cost =
+             --budget CE calls per query, matching fixed-mode recall at
+             a fraction of the calls (benchmarks/adaptive_matched_
+             recall.json). Queries are micro-batched (--batch) either
+             way for MXU efficiency.
 """
 
 from __future__ import annotations
@@ -37,6 +45,15 @@ def main(argv=None):
     p.add_argument("--out", default="-", help="output JSONL ('-' = stdout)")
     p.add_argument("--top_k", type=int, default=10)
     p.add_argument("--top_k_retvr", type=int, default=100)
+    p.add_argument("--mode", choices=["fixed", "adaptive"], default="fixed")
+    p.add_argument("--budget", type=int, default=200,
+                   help="adaptive mode: total CE calls per query")
+    p.add_argument("--rounds", type=int, default=5,
+                   help="adaptive mode: number of rounds")
+    p.add_argument("--ada_method", choices=["cur", "axn"], default="cur")
+    p.add_argument("--axn_rank", type=int, default=0, help="0 = full rank")
+    p.add_argument("--batch", type=int, default=32,
+                   help="queries per device dispatch (both modes)")
     p.add_argument("--max_query_len", type=int, default=None,
                    help="default: the state file's saved value, else 128")
     p.add_argument("--seed", type=int, default=0)
@@ -97,9 +114,48 @@ def main(argv=None):
         retriever.cost_per_query,
     )
 
+    from anncur_tpu.data.tokenization import get_context_representation_ids
+
+    def tokenize(query):
+        return get_context_representation_ids(
+            {
+                "mention": query["mention"].lower(),
+                "context_left": query.get("context_left", "").lower(),
+                "context_right": query.get("context_right", "").lower(),
+            },
+            tokenizer,
+            retriever.max_query_len,
+        )
+
+    def flush(queries, toks, fout):
+        if not queries:
+            return
+        qtoks = np.asarray(toks, np.int32)
+        if args.mode == "adaptive":
+            scores, ids = retriever.query_tokens_adaptive_fused(
+                qtoks,
+                total_budget=args.budget,
+                n_rounds=args.rounds,
+                top_k=args.top_k,
+                method=args.ada_method,
+                axn_rank=args.axn_rank or None,
+                seed=args.seed,
+            )
+        else:
+            scores, ids = retriever.query_tokens_batch(
+                qtoks, top_k=args.top_k, top_k_retvr=args.top_k_retvr
+            )
+        for q, s_row, i_row in zip(queries, scores, ids):
+            results = list(zip(i_row.tolist(), s_row.tolist()))
+            fout.write(json.dumps({"query": q["mention"], "results": results}) + "\n")
+        fout.flush()
+
     fin = sys.stdin if args.queries == "-" else open(args.queries)
     fout = sys.stdout if args.out == "-" else open(args.out, "w")
     with fin, fout:
+        queries, toks = [], []
+        # stdin is interactive: answer line-by-line; files use --batch
+        batch = 1 if args.queries == "-" else max(1, args.batch)
         for line in fin:
             line = line.rstrip("\n")
             if not line:
@@ -111,15 +167,12 @@ def main(argv=None):
                          "context_right": parts[2] if len(parts) > 2 else ""}
             else:
                 query = json.loads(line)
-            results = retriever.query(
-                query["mention"],
-                context_left=query.get("context_left", ""),
-                context_right=query.get("context_right", ""),
-                top_k=args.top_k,
-                top_k_retvr=args.top_k_retvr,
-            )
-            fout.write(json.dumps({"query": query["mention"], "results": results}) + "\n")
-            fout.flush()
+            queries.append(query)
+            toks.append(tokenize(query))
+            if len(queries) >= batch:
+                flush(queries, toks, fout)
+                queries, toks = [], []
+        flush(queries, toks, fout)
 
 
 if __name__ == "__main__":

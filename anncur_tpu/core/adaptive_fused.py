@@ -32,7 +32,7 @@ run_retrieval_eval_wrt_exact_crossenc.py:480-481).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +70,32 @@ def ridge_complete(
     return jnp.einsum("qn,nm->qm", w, train, precision="highest")
 
 
+def axn_complete_batched(
+    item_embeds: jax.Array,  # (m, r) factorized item embeddings (core/axn.py)
+    mean: jax.Array,  # (m,) per-item train-score mean
+    ids: jax.Array,  # (q, S) int32 PER-QUERY scored item ids
+    vals: jax.Array,  # (q, S) exact scores at those ids
+    lam_rel: float = 1e-4,
+) -> jax.Array:
+    """(q, m) AXN completion with per-query observation sets: each
+    query's latent embedding solves an (r x r) ridge system on ITS own
+    scored items — the batched per-query form of core/axn.py::
+    axn_complete (which assumes one shared id set). Cheaper than the
+    CUR train-space ridge when r < S (gram is r x r, not S x S)."""
+    r = item_embeds.shape[1]
+    e_s = jnp.take(item_embeds, ids, axis=0)  # (q, S, r)
+    y = vals - jnp.take(mean, ids, axis=0)
+    gram = jnp.einsum("qsr,qst->qrt", e_s, e_s, precision="highest")
+    lam = lam_rel * (jnp.trace(gram, axis1=1, axis2=2) / r)
+    gram = gram + lam[:, None, None] * jnp.eye(r, dtype=gram.dtype)
+    rhs = jnp.einsum("qsr,qs->qr", e_s, y, precision="highest")
+    q_emb = jnp.linalg.solve(gram, rhs[..., None])[..., 0]  # (q, r)
+    return (
+        jnp.einsum("qr,mr->qm", q_emb, item_embeds, precision="highest")
+        + mean[None, :]
+    )
+
+
 def adaptive_rounds(
     score_fn: Callable[[jax.Array], jax.Array],
     # score_fn(ids (q, k) int32) -> (q, k) exact scores; jittable; called
@@ -81,21 +107,29 @@ def adaptive_rounds(
     n_rounds: int,
     top_k: int,
     ridge_rel: float = 1e-6,
+    completer: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Pure traced body (call under jit): returns
     (top_scores (q, top_k), top_ids (q, top_k), scored_ids (q, budget)).
+
+    ``completer(ids (q,S), vals (q,S)) -> (q, m)`` chooses the latent
+    completion backend: default = CUR train-space ridge
+    (ridge_complete); pass an AXN closure (axn_complete_batched over a
+    fitted AxnIndex) for the factorized-embedding backend.
 
     Final ranking = exact scores over everything scored (same
     retrieve-then-rerank semantics as the host version)."""
     m = train.shape[1]
     total_budget = min(total_budget, m)
     first, per, n_rounds = split_rounds(total_budget, n_rounds)
+    if completer is None:
+        completer = lambda ids, vals: ridge_complete(train, ids, vals, ridge_rel)
 
     ids = jnp.broadcast_to(anchors0[None, :first], (q, first)).astype(jnp.int32)
     vals = score_fn(ids)
 
     for _ in range(n_rounds - 1):
-        approx = ridge_complete(train, ids, vals, ridge_rel)
+        approx = completer(ids, vals)
         # never re-pick an already-scored item
         approx = approx.at[jnp.arange(q)[:, None], ids].set(-jnp.inf)
         _, next_ids = jax.lax.top_k(approx, per)  # (q, per)
@@ -109,16 +143,35 @@ def adaptive_rounds(
     return top_scores, top_ids, ids
 
 
-@lru_cache(maxsize=32)
-def _oracle_fn(budget: int, n_rounds: int, top_k: int, ridge_rel: float):
+@lru_cache(maxsize=64)
+def _oracle_fn(
+    budget: int, n_rounds: int, top_k: int, ridge_rel: float,
+    method: str = "cur", axn_lam_rel: float = 1e-4,
+):
     """jitted oracle-scorer engine (scores come from a precomputed full
-    matrix — the eval setting, no encoder)."""
+    matrix — the eval setting, no encoder). ``method``: 'cur' (train-
+    space ridge) or 'axn' (factorized-embedding completion; takes the
+    fitted item embeddings + mean as extra traced args)."""
 
-    def fn(full, train, anchors0):
-        score = lambda ids: jnp.take_along_axis(full, ids, axis=1)
-        return adaptive_rounds(
-            score, train, anchors0, full.shape[0], budget, n_rounds, top_k, ridge_rel
-        )
+    if method == "cur":
+
+        def fn(full, train, anchors0):
+            score = lambda ids: jnp.take_along_axis(full, ids, axis=1)
+            return adaptive_rounds(
+                score, train, anchors0, full.shape[0], budget, n_rounds, top_k, ridge_rel
+            )
+
+    else:
+
+        def fn(full, train, anchors0, item_embeds, mean):
+            score = lambda ids: jnp.take_along_axis(full, ids, axis=1)
+            completer = lambda ids, vals: axn_complete_batched(
+                item_embeds, mean, ids, vals, axn_lam_rel
+            )
+            return adaptive_rounds(
+                score, train, anchors0, full.shape[0], budget, n_rounds, top_k,
+                ridge_rel, completer=completer,
+            )
 
     return jax.jit(fn)
 
@@ -131,10 +184,16 @@ def adaptive_topk_oracle(
     top_k: int = 10,
     seed: int = 0,
     ridge_rel: float = 1e-6,
+    method: str = "cur",
+    axn_rank: Optional[int] = None,
+    axn_lam_rel: float = 1e-4,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Run the fused engine against a precomputed score matrix (for
     recall evaluation / budget search — mirrors
-    core/adaptive.py::adaptive_cur_query's oracle use)."""
+    core/adaptive.py::adaptive_cur_query's oracle use). ``method='axn'``
+    completes through rank-``axn_rank`` factorized item embeddings
+    fitted from the train matrix (core/axn.py) instead of the train-
+    space ridge."""
     full = jnp.asarray(full_scores, jnp.float32)
     train = jnp.asarray(train_scores, jnp.float32)
     m = full.shape[1]
@@ -143,9 +202,16 @@ def adaptive_topk_oracle(
     anchors0 = jnp.asarray(
         sorted(rng.choice(m, size=first, replace=False)), jnp.int32
     )
-    s, i, scored = _oracle_fn(min(total_budget, m), n_rounds, top_k, ridge_rel)(
-        full, train, anchors0
-    )
+    fn = _oracle_fn(min(total_budget, m), n_rounds, top_k, ridge_rel, method, axn_lam_rel)
+    if method == "axn":
+        from anncur_tpu.core.axn import fit_item_embeddings
+
+        idx = fit_item_embeddings(
+            np.asarray(train_scores), axn_rank or min(train_scores.shape)
+        )
+        s, i, scored = fn(full, train, anchors0, idx.item_embeds, idx.mean)
+    else:
+        s, i, scored = fn(full, train, anchors0)
     return np.asarray(s), np.asarray(i), np.asarray(scored)
 
 
@@ -197,6 +263,8 @@ def adaptive_recall_oracle(
     top_k: int = 10,
     seed: int = 0,
     ridge_rel: float = 1e-6,
+    method: str = "cur",
+    axn_rank: Optional[int] = None,
 ) -> float:
     """recall@top_k of the fused adaptive engine at the given budget."""
     from anncur_tpu.core.metrics import topk_overlap_frac
@@ -204,7 +272,8 @@ def adaptive_recall_oracle(
     full = np.asarray(full_scores, np.float32)
     exact_top = np.argsort(-full, axis=1)[:, :top_k]
     _, ids, _ = adaptive_topk_oracle(
-        full, train_scores, total_budget, n_rounds, top_k, seed, ridge_rel
+        full, train_scores, total_budget, n_rounds, top_k, seed, ridge_rel,
+        method=method, axn_rank=axn_rank,
     )
     return float(
         np.asarray(topk_overlap_frac(jnp.asarray(ids), jnp.asarray(exact_top))).mean()
@@ -221,6 +290,8 @@ def matched_recall_budget(
     seeds: Tuple[int, ...] = (0, 1, 2),
     budgets: Tuple[int, ...] = (40, 60, 80, 120, 160, 240, 320, 480, 600),
     ridge_rel: float = 1e-6,
+    method: str = "cur",
+    axn_rank: Optional[int] = None,
 ) -> dict:
     """Find the smallest adaptive budget whose mean recall@top_k matches
     (>=) the fixed-anchor path at cost = fixed_n_anchors +
@@ -244,7 +315,8 @@ def matched_recall_budget(
             np.mean(
                 [
                     adaptive_recall_oracle(
-                        full_scores, train_scores, b, n_rounds, top_k, s, ridge_rel
+                        full_scores, train_scores, b, n_rounds, top_k, s, ridge_rel,
+                        method=method, axn_rank=axn_rank,
                     )
                     for s in seeds
                 ]
@@ -261,4 +333,6 @@ def matched_recall_budget(
         "top_k": top_k,
         "n_rounds": n_rounds,
         "seeds": list(seeds),
+        "method": method,
+        "axn_rank": axn_rank,
     }

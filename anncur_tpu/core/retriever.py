@@ -110,6 +110,7 @@ class CurRetriever:
         self._fused_cache: Dict[tuple, object] = {}
         self._dev_consts = None
         self._train_mat = None
+        self._axn_cache: Dict[int, object] = {}
         if self.item_ids is None:
             self.item_ids = np.arange(self.item_tokens.shape[0], dtype=np.int64)
         if self.next_item_id is None:
@@ -120,6 +121,7 @@ class CurRetriever:
         self._fused_cache = {}
         self._dev_consts = None
         self._train_mat = None
+        self._axn_cache = {}
 
     def _device_consts(self):
         if self._dev_consts is None:
@@ -591,23 +593,33 @@ class CurRetriever:
         return self._train_mat
 
     def _get_fused_adaptive_fn(
-        self, q_pad: int, lm: int, budget: int, n_rounds: int, top_k: int, ridge_rel: float
+        self,
+        q_pad: int,
+        lm: int,
+        budget: int,
+        n_rounds: int,
+        top_k: int,
+        ridge_rel: float,
+        method: str = "cur",
+        axn_lam_rel: float = 1e-4,
     ):
         """ONE jit program for the whole adaptive query batch: round-0
-        anchor scoring -> per-round ridge completion / candidate pick /
+        anchor scoring -> per-round latent completion / candidate pick /
         per-query CE scoring (rounds unrolled) -> final top-k over exact
         scores. Replaces the host path's per-round dispatches and
-        per-query f64 pinvs (core/adaptive_fused.py docstring)."""
-        key = ("adaptive", q_pad, lm, budget, n_rounds, top_k, ridge_rel)
+        per-query f64 pinvs (core/adaptive_fused.py docstring).
+        ``method``: 'cur' (train-space ridge) or 'axn' (factorized
+        item-embedding completion, core/axn.py — r x r solves)."""
+        key = ("adaptive", q_pad, lm, budget, n_rounds, top_k, ridge_rel, method, axn_lam_rel)
         if key in self._fused_cache:
             return self._fused_cache[key]
-        from anncur_tpu.core.adaptive_fused import adaptive_rounds
+        from anncur_tpu.core.adaptive_fused import adaptive_rounds, axn_complete_batched
 
         ce = self.encoder
         le = self.item_tokens.shape[1]
         score_pairs = _make_pair_scorer(ce, lm, le, self.pair_pad_multiple)
 
-        def fn(p, qtoks, items, train, anchors0):
+        def make_score_fn(p, qtoks, items):
             def score_fn(ids):
                 width = ids.shape[1]
                 target = max(1, self._stage_batch(width))
@@ -628,9 +640,26 @@ class CurRetriever:
                 )
                 return out.reshape(q_pad, width)
 
-            return adaptive_rounds(
-                score_fn, train, anchors0, q_pad, budget, n_rounds, top_k, ridge_rel
-            )
+            return score_fn
+
+        if method == "axn":
+
+            def fn(p, qtoks, items, train, anchors0, item_embeds, mean):
+                completer = lambda ids, vals: axn_complete_batched(
+                    item_embeds, mean, ids, vals, axn_lam_rel
+                )
+                return adaptive_rounds(
+                    make_score_fn(p, qtoks, items), train, anchors0, q_pad, budget,
+                    n_rounds, top_k, ridge_rel, completer=completer,
+                )
+
+        else:
+
+            def fn(p, qtoks, items, train, anchors0):
+                return adaptive_rounds(
+                    make_score_fn(p, qtoks, items), train, anchors0, q_pad, budget,
+                    n_rounds, top_k, ridge_rel,
+                )
 
         self._fused_cache[key] = jax.jit(fn)
         return self._fused_cache[key]
@@ -644,6 +673,9 @@ class CurRetriever:
         train_scores: Optional[np.ndarray] = None,
         seed: int = 0,
         ridge_rel: float = 1e-6,
+        method: str = "cur",
+        axn_rank: Optional[int] = None,
+        axn_lam_rel: float = 1e-4,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Adaptive multi-round retrieval as ONE fused jit program per
         batch — the production adaptive serving mode. Spends exactly
@@ -653,6 +685,11 @@ class CurRetriever:
         effective q/s over the fixed-anchor path by
         (fixed cost / matched budget) — see
         core/adaptive_fused.py::matched_recall_budget and bench.py line 3.
+
+        ``method='axn'`` completes through rank-``axn_rank`` factorized
+        item embeddings (SVD of the train matrix, core/axn.py; fitted
+        once and cached) instead of the train-space ridge: cheaper
+        rounds (r x r solves) and the rank is independent of the budget.
 
         ``ridge_rel`` plays the pinv-rcond role of the fixed path: raise
         it toward ~1e-3 for matrices whose ranking signal sits near the
@@ -680,9 +717,31 @@ class CurRetriever:
             sorted(rng.choice(n_items, size=first, replace=False)), jnp.int32
         )
         items, _, _ = self._device_consts()
-        fn = self._get_fused_adaptive_fn(q_pad, lm, total_budget, n_rounds, top_k, ridge_rel)
-        s, i, _ = fn(self.params, jnp.asarray(qtoks), items, train, anchors0)
+        fn = self._get_fused_adaptive_fn(
+            q_pad, lm, total_budget, n_rounds, top_k, ridge_rel, method, axn_lam_rel
+        )
+        if method == "axn":
+            idx = self._axn_index(train, axn_rank)
+            s, i, _ = fn(
+                self.params, jnp.asarray(qtoks), items, train, anchors0,
+                idx.item_embeds, idx.mean,
+            )
+        else:
+            s, i, _ = fn(self.params, jnp.asarray(qtoks), items, train, anchors0)
         return np.asarray(s)[:q], self.item_ids[np.asarray(i)[:q]]
+
+    def _axn_index(self, train: jnp.ndarray, rank: Optional[int]):
+        """Fit (and cache) the AXN factorized item embeddings from the
+        train matrix. Cache is keyed by rank and cleared on corpus edits
+        (_invalidate); train_scores passed explicitly bypass the cache
+        only if their shape differs from the cached fit."""
+        from anncur_tpu.core.axn import fit_item_embeddings
+
+        rank = rank or min(train.shape)
+        key = (rank, tuple(train.shape))
+        if key not in self._axn_cache:
+            self._axn_cache[key] = fit_item_embeddings(np.asarray(train), rank)
+        return self._axn_cache[key]
 
     @property
     def cost_per_query(self) -> int:

@@ -159,11 +159,13 @@ def main():
 
     # ---- line 3: adaptive query path at matched recall -----------------
     budget = int(os.environ.get("BENCH_ADA_BUDGET", "0"))
-    n_rounds = int(os.environ.get("BENCH_ADA_ROUNDS", "3"))
+    n_rounds = int(os.environ.get("BENCH_ADA_ROUNDS", "0"))
     scenario = "env-override"
     amr_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks", "adaptive_matched_recall.json"
     )
+    method = os.environ.get("BENCH_ADA_METHOD", "")
+    axn_rank = None
     if not budget:
         budget, scenario = 200, "default"
         if os.path.exists(amr_path):
@@ -172,16 +174,20 @@ def main():
             if amr.get("headline_matched_budget"):
                 budget = int(amr["headline_matched_budget"])
                 scenario = str(amr.get("headline_scenario"))
-    retriever.query_tokens_adaptive_fused(
-        qtoks, total_budget=budget, n_rounds=n_rounds, top_k=10, train_scores=train_scores
-    )  # compile + warmup
+                method = method or amr.get("headline_method", "cur")
+                axn_rank = amr.get("headline_axn_rank")
+                n_rounds = n_rounds or int(amr.get("headline_n_rounds", 3))
+    method = method or "cur"
+    n_rounds = n_rounds or 3
+    ada_kw = dict(
+        total_budget=budget, n_rounds=n_rounds, top_k=10, train_scores=train_scores,
+        method=method, axn_rank=axn_rank,
+    )
+    retriever.query_tokens_adaptive_fused(qtoks, **ada_kw)  # compile + warmup
     aqps = 0.0
     for _ in range(2):
         t0 = time.time()
-        retriever.query_tokens_adaptive_fused(
-            qtoks, total_budget=budget, n_rounds=n_rounds, top_k=10,
-            train_scores=train_scores,
-        )
+        retriever.query_tokens_adaptive_fused(qtoks, **ada_kw)
         aqps = max(aqps, n_q / (time.time() - t0))
     print(
         json.dumps(
@@ -189,9 +195,9 @@ def main():
                 "metric": "query_throughput_at_matched_recall",
                 "value": round(aqps, 2),
                 "unit": (
-                    f"queries/s/chip (adaptive {n_rounds}-round, budget={budget} CE "
-                    f"calls ~ recall of fixed-anchor cost-600; evidence "
-                    f"benchmarks/adaptive_matched_recall.json[{scenario}])"
+                    f"queries/s/chip (adaptive {n_rounds}-round {method}, "
+                    f"budget={budget} CE calls ~ recall of fixed-anchor cost-600; "
+                    f"evidence benchmarks/adaptive_matched_recall.json[{scenario}])"
                 ),
                 "vs_baseline": round(aqps / (REFERENCE_GPU_PAIRS_PER_SEC / 600.0), 2),
             }

@@ -173,3 +173,37 @@ def retriever_setup(mesh8):
     )
     full_scores = builder(params, ment, ent)
     return retriever, ment, full_scores, builder
+
+
+def test_axn_method_oracle_hard_regime(rng):
+    """AXN completion backend (factorized embeddings, r x r solves) must
+    also beat fixed-anchor at equal budget in the hard regime, like the
+    CUR ridge backend."""
+    full, train = make_matrix(rng, 16, 100, 400, rank=60, noise=0.05)
+    budget = 80
+    ada = adaptive_recall_oracle(
+        full, train, budget, n_rounds=3, top_k=10, seed=0, method="axn", axn_rank=60
+    )
+    fixed = fixed_anchor_recall(full, train, budget // 2, budget - budget // 2, 10, seed=0)
+    assert ada >= fixed + 0.1, (ada, fixed)
+    # budget accounting identical to the cur backend
+    s, i, scored = adaptive_topk_oracle(
+        full, train, budget, 3, 10, seed=0, method="axn", axn_rank=60
+    )
+    assert scored.shape == (16, 80)
+    for q in range(16):
+        assert len(set(scored[q].tolist())) == 80
+        np.testing.assert_allclose(s[q], full[q, i[q]], rtol=1e-5)
+
+
+def test_retriever_fused_adaptive_axn(retriever_setup):
+    retriever, ment, full_scores, builder = retriever_setup
+    scores, ids = retriever.query_tokens_adaptive_fused(
+        ment[16:20], total_budget=24, n_rounds=3, top_k=5,
+        train_scores=full_scores[:16], method="axn", axn_rank=8,
+    )
+    assert scores.shape == (4, 5)
+    for i in range(4):
+        np.testing.assert_allclose(
+            scores[i], full_scores[16 + i, ids[i]], rtol=1e-4, atol=1e-4
+        )

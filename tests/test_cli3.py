@@ -299,3 +299,51 @@ def test_retrieve_rerank_empty_slice_fails_cleanly(mesh8):
             bienc, bienc.init(jax.random.PRNGKey(0)), ce, ce.init(jax.random.PRNGKey(1)),
             ment, ent, gt, top_k=4, ment_start=99,
         )
+
+
+def test_serve_cli_adaptive_mode(tmp_path):
+    """serve CLI --mode adaptive: answers come from the fused multi-round
+    engine at --budget CE calls per query."""
+    import json as _json
+
+    import numpy as np
+
+    from anncur_tpu.cli import serve
+    from anncur_tpu.core.cur import build_cur, save_cur_index
+    from anncur_tpu.data.synthetic import make_tokenized_world
+
+    ment, ent, gt, tok = make_tokenized_world(seed=12, n_ents=20, n_ments=10,
+                                              max_ment_len=16, max_ent_len=16)
+    vocab = str(tmp_path / "vocab.txt")
+    tok.save_vocab(vocab)
+    npy = str(tmp_path / "ents.npy")
+    np.save(npy, ent)
+    rng = np.random.default_rng(0)
+    train_scores = rng.standard_normal((6, 20)).astype(np.float32)
+    anchors = np.arange(0, 20, 4)
+    index = build_cur(train_scores, train_scores[:, anchors], np.arange(6), anchors,
+                      validate=False)
+    idx_path = str(tmp_path / "index.pkl")
+    save_cur_index(idx_path, index)
+
+    qfile = str(tmp_path / "queries.jsonl")
+    with open(qfile, "w") as fout:
+        fout.write(_json.dumps({"mention": "alpha beta", "context_left": "gamma"}) + "\n")
+        fout.write(_json.dumps({"mention": "delta"}) + "\n")
+        fout.write(_json.dumps({"mention": "epsilon zeta"}) + "\n")
+    out = str(tmp_path / "out.jsonl")
+    serve.main(
+        ["--index", idx_path, "--ent_tokens_file", npy, "--vocab_file", vocab,
+         "--queries", qfile, "--out", out, "--top_k", "3",
+         "--mode", "adaptive", "--budget", "12", "--rounds", "3",
+         "--max_query_len", "16",
+         "--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
+         "--intermediate_size", "64"]
+    )
+    lines = [_json.loads(l) for l in open(out)]
+    assert len(lines) == 3
+    for rec in lines:
+        assert len(rec["results"]) == 3
+        assert all(0 <= i < 20 for i, _ in rec["results"])
+        scores = [s for _, s in rec["results"]]
+        assert scores == sorted(scores, reverse=True)
