@@ -49,6 +49,20 @@ def split_rounds(total_budget: int, n_rounds: int) -> Tuple[int, int, int]:
     return first_round, per_round, n_rounds
 
 
+def take_per_row(mat: jax.Array, ids: jax.Array) -> jax.Array:
+    """Per-row gather ``mat[q, ids[q]]`` via a flat 1-D take.
+
+    Semantically ``jnp.take_along_axis(mat, ids, axis=1)`` — but that
+    lowering is pathological on TPU at (q, large_m) sources with small
+    per-row index sets: measured 513 s compile (vs 1.8 s for this form)
+    at (128, 10031) x (128, 20) on v5e, long enough that the unrolled
+    adaptive oracle program tripped the remote worker's RPC deadline
+    and crashed it. Requires q*m < 2^31 (int32 flat indexing)."""
+    q, m = mat.shape
+    flat_idx = ids + jnp.arange(q, dtype=ids.dtype)[:, None] * m
+    return jnp.take(mat.reshape(-1), flat_idx, axis=0)
+
+
 def ridge_complete(
     train: jax.Array,  # (n_train, m) f32
     ids: jax.Array,  # (q, S) int32 per-query scored item ids
@@ -60,8 +74,13 @@ def ridge_complete(
 
     All matmuls run at precision='highest' — the TPU bf16 default
     collapses CUR recall (CLAUDE.md, measured)."""
-    s = ids.shape[1]
-    c = jnp.moveaxis(jnp.take(train, ids, axis=1), 1, 0)  # (q, n_train, S)
+    q, s = ids.shape
+    n_train = train.shape[0]
+    # column gather as a row gather on train.T: 1-D-index take along
+    # axis 0 compiles efficiently on TPU (the axis=1 2-D-index take did
+    # not; see take_per_row)
+    c = jnp.take(train.T, ids.reshape(-1), axis=0).reshape(q, s, n_train)
+    c = jnp.swapaxes(c, 1, 2)  # (q, n_train, S)
     gram = jnp.einsum("qns,qnt->qst", c, c, precision="highest")
     lam = ridge_rel * (jnp.trace(gram, axis1=1, axis2=2) / s)
     gram = gram + lam[:, None, None] * jnp.eye(s, dtype=gram.dtype)
@@ -156,7 +175,7 @@ def _oracle_fn(
     if method == "cur":
 
         def fn(full, train, anchors0):
-            score = lambda ids: jnp.take_along_axis(full, ids, axis=1)
+            score = lambda ids: take_per_row(full, ids)
             return adaptive_rounds(
                 score, train, anchors0, full.shape[0], budget, n_rounds, top_k, ridge_rel
             )
@@ -164,7 +183,7 @@ def _oracle_fn(
     else:
 
         def fn(full, train, anchors0, item_embeds, mean):
-            score = lambda ids: jnp.take_along_axis(full, ids, axis=1)
+            score = lambda ids: take_per_row(full, ids)
             completer = lambda ids, vals: axn_complete_batched(
                 item_embeds, mean, ids, vals, axn_lam_rel
             )

@@ -64,3 +64,30 @@ def pinv_f64(mat, rcond: float | None = None) -> np.ndarray:
     if rcond is None:
         rcond = max(mat.shape[-2], mat.shape[-1]) * float(np.finfo(np.float32).eps)
     return np.linalg.pinv(mat, rcond=rcond)
+
+
+def auto_rcond(mat, kappa_threshold: float = 1e4) -> float | None:
+    """Condition-aware pinv cutoff: Gavish-Donoho noise threshold ONLY
+    when the matrix is genuinely ill-conditioned, else the f32-eps
+    default (None).
+
+    Rationale (measured on the yugioh-scale synthetic, inductive
+    recall@100 with 500 train rows): near-SQUARE anchor intersections
+    (n_anchors ~ n_train) have exploding condition numbers — their
+    smallest singular values are noise and the eps cutoff keeps them,
+    collapsing recall (38% at anc=500 vs 91% with the noise cutoff).
+    But when anchors <= effective rank, the spectrum is ALL signal,
+    Gavish-Donoho's median-based noise estimate lands mid-signal and
+    over-truncates (recall 70% -> 9% at anc=200). Condition number
+    separates the regimes cleanly: all-signal spectra stay moderate
+    (kappa ~ 1e2), noise-reaching spectra explode (>= 1e4, where f32
+    solves lose most of their precision anyway).
+    """
+    mat = np.asarray(mat, dtype=np.float64)
+    sv = np.linalg.svd(mat, compute_uv=False)
+    if sv[..., 0] == 0:
+        return 0.0
+    kappa = float(sv[..., 0] / max(float(sv[..., -1]), 1e-300))
+    if kappa < kappa_threshold:
+        return None  # well-conditioned: keep everything above f32 eps
+    return noise_rcond(mat)
