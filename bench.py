@@ -179,16 +179,23 @@ def main():
                 n_rounds = n_rounds or int(amr.get("headline_n_rounds", 3))
     method = method or "cur"
     n_rounds = n_rounds or 3
+    # adaptive throughput grows with the query batch (narrow per-round
+    # candidate sets need many queries to fill the MXU: measured 11.4 ->
+    # 17.9 -> 19.6 q/s going 32 -> 128 -> 256 at budget 150, the last at
+    # 97% of the builder's pairs/s roofline; tps=8192 regresses to 16.8
+    # like the fixed path). Default: throughput-serving batch of 256.
+    ada_q = int(os.environ.get("BENCH_ADA_BATCH", "256"))
+    ada_toks = rng.integers(1, spec.vocab_size, size=(ada_q, lm)).astype(np.int32)
     ada_kw = dict(
         total_budget=budget, n_rounds=n_rounds, top_k=10, train_scores=train_scores,
         method=method, axn_rank=axn_rank,
     )
-    retriever.query_tokens_adaptive_fused(qtoks, **ada_kw)  # compile + warmup
+    retriever.query_tokens_adaptive_fused(ada_toks, **ada_kw)  # compile + warmup
     aqps = 0.0
     for _ in range(2):
         t0 = time.time()
-        retriever.query_tokens_adaptive_fused(qtoks, **ada_kw)
-        aqps = max(aqps, n_q / (time.time() - t0))
+        retriever.query_tokens_adaptive_fused(ada_toks, **ada_kw)
+        aqps = max(aqps, ada_q / (time.time() - t0))
     print(
         json.dumps(
             {
@@ -196,8 +203,9 @@ def main():
                 "value": round(aqps, 2),
                 "unit": (
                     f"queries/s/chip (adaptive {n_rounds}-round {method}, "
-                    f"budget={budget} CE calls ~ recall of fixed-anchor cost-600; "
-                    f"evidence benchmarks/adaptive_matched_recall.json[{scenario}])"
+                    f"budget={budget} CE calls ~ recall of fixed-anchor cost-600, "
+                    f"batch={ada_q}; evidence "
+                    f"benchmarks/adaptive_matched_recall.json[{scenario}])"
                 ),
                 "vs_baseline": round(aqps / (REFERENCE_GPU_PAIRS_PER_SEC / 600.0), 2),
             }
