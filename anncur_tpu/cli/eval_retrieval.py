@@ -39,12 +39,15 @@ def main(argv=None):
     p.add_argument(
         "--rcond", default="",
         help="pinv cutoff for CUR methods: empty = f32-eps default, a float, "
-             "or 'noise' for the Gavish-Donoho adaptive threshold",
+             "'noise' for the Gavish-Donoho adaptive threshold, or 'auto' "
+             "(noise threshold only when the anchor intersection is "
+             "ill-conditioned — fixes the near-square anchor collapse, "
+             "ops/pinv.py::auto_rcond)",
     )
     args = p.parse_args(argv)
     rcond = None
     if args.rcond:
-        rcond = args.rcond if args.rcond == "noise" else float(args.rcond)
+        rcond = args.rcond if args.rcond in ("noise", "auto") else float(args.rcond)
 
     data = load_score_matrix(args.score_matrix)
     exact = np.asarray(data["ment_to_ent_scores"], np.float32)

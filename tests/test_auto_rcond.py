@@ -72,3 +72,35 @@ def test_auto_fixes_square_intersection_without_hurting_all_signal():
     r_none_sig = _recall(train, test, 30, None, np.random.default_rng(0))
     r_auto_sig = _recall(train, test, 30, "auto", np.random.default_rng(0))
     assert r_auto_sig >= r_none_sig - 0.02, (r_none_sig, r_auto_sig)
+
+
+def test_eval_retrieval_cli_accepts_rcond_auto(tmp_path):
+    """`--rcond auto` must parse and thread through to the transductive
+    eval (not fall into the float() branch)."""
+    import json
+    import os
+
+    from anncur_tpu.cli import eval_retrieval
+    from anncur_tpu.indexer import save_score_matrix
+
+    rng = np.random.default_rng(0)
+    scores = (
+        rng.standard_normal((24, 40)) @ np.eye(40)
+    ).astype(np.float32)
+    pkl = str(tmp_path / "sm.pkl")
+    save_score_matrix(
+        pkl,
+        scores,
+        mention_tokens_list=np.zeros((24, 4), np.int32),
+        entity_id_list=np.arange(40),
+    )
+    res_dir = str(tmp_path / "res")
+    eval_retrieval.main(
+        ["--mode", "transductive", "--score_matrix", pkl, "--res_dir", res_dir,
+         "--methods", "cur", "--n_seeds", "1",
+         "--top_k_vals", "5", "--top_k_retvr_vals", "10",
+         "--n_ment_anchors_vals", "8", "--n_ent_anchors_vals", "8",
+         "--rcond", "auto"]
+    )
+    with open(os.path.join(res_dir, "retrieval_wrt_exact_crossenc.json")) as fin:
+        assert "cur" in json.load(fin)
