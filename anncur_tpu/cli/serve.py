@@ -114,23 +114,25 @@ def main(argv=None):
         retriever.cost_per_query,
     )
 
-    from anncur_tpu.data.tokenization import get_context_representation_ids
-
     def tokenize(query):
-        return get_context_representation_ids(
-            {
-                "mention": query["mention"].lower(),
-                "context_left": query.get("context_left", "").lower(),
-                "context_right": query.get("context_right", "").lower(),
-            },
-            tokenizer,
-            retriever.max_query_len,
+        return retriever.tokenize_query(
+            query["mention"],
+            query.get("context_left", ""),
+            query.get("context_right", ""),
         )
 
-    def flush(queries, toks, fout):
+    def flush(queries, toks, fout, batch=1):
         if not queries:
             return
         qtoks = np.asarray(toks, np.int32)
+        n_real = qtoks.shape[0]
+        if n_real < batch:
+            # pad the final partial batch up to the steady-state shape:
+            # a smaller q traces a NEW fused program (60-90 s remote
+            # compile) that would cost more than the whole run
+            qtoks = np.concatenate(
+                [qtoks, np.repeat(qtoks[-1:], batch - n_real, axis=0)]
+            )
         if args.mode == "adaptive":
             scores, ids = retriever.query_tokens_adaptive_fused(
                 qtoks,
@@ -170,9 +172,9 @@ def main(argv=None):
             queries.append(query)
             toks.append(tokenize(query))
             if len(queries) >= batch:
-                flush(queries, toks, fout)
+                flush(queries, toks, fout, batch)
                 queries, toks = [], []
-        flush(queries, toks, fout)
+        flush(queries, toks, fout, batch)
 
 
 if __name__ == "__main__":

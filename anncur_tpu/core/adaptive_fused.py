@@ -59,6 +59,14 @@ def take_per_row(mat: jax.Array, ids: jax.Array) -> jax.Array:
     adaptive oracle program tripped the remote worker's RPC deadline
     and crashed it. Requires q*m < 2^31 (int32 flat indexing)."""
     q, m = mat.shape
+    if q * m >= 2**31:
+        # shapes are static, so this runs at trace time; without it the
+        # int32 flat index overflows and TPU take CLAMPS the bad
+        # indices — silently wrong gathers, not an error
+        raise ValueError(
+            f"take_per_row: q*m = {q}*{m} = {q * m} overflows int32 flat "
+            "indexing; chunk the rows (q) before calling"
+        )
     flat_idx = ids + jnp.arange(q, dtype=ids.dtype)[:, None] * m
     return jnp.take(mat.reshape(-1), flat_idx, axis=0)
 
@@ -223,9 +231,12 @@ def adaptive_topk_oracle(
     )
     fn = _oracle_fn(min(total_budget, m), n_rounds, top_k, ridge_rel, method, axn_lam_rel)
     if method == "axn":
-        from anncur_tpu.core.axn import fit_item_embeddings
+        from anncur_tpu.core.axn import fit_item_embeddings_cached
 
-        idx = fit_item_embeddings(
+        # content-cached: budget/seed sweeps refit the IDENTICAL train
+        # matrix at every point otherwise (21 redundant f64 SVDs per
+        # scenario in tools/adaptive_matched_recall.py)
+        idx = fit_item_embeddings_cached(
             np.asarray(train_scores), axn_rank or min(train_scores.shape)
         )
         s, i, scored = fn(full, train, anchors0, idx.item_embeds, idx.mean)

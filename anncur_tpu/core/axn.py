@@ -60,6 +60,29 @@ def fit_item_embeddings(
     return AxnIndex(item_embeds=jnp.asarray(item_embeds), mean=jnp.asarray(mu, jnp.float32))
 
 
+_FIT_CACHE: dict = {}
+_FIT_CACHE_MAX = 4
+
+
+def fit_item_embeddings_cached(
+    train_scores: np.ndarray, rank: int, center: bool = True
+) -> AxnIndex:
+    """`fit_item_embeddings` memoized by CONTENT (blake2b of the bytes),
+    not by shape: same-shaped but different train matrices (a refreshed
+    build, another train slice) must not return a stale fit, while
+    sweeps that refit the identical matrix per (budget, seed) point skip
+    the redundant f64 SVD (~seconds at (500, 10k))."""
+    import hashlib
+
+    arr = np.ascontiguousarray(np.asarray(train_scores, np.float32))
+    key = (hashlib.blake2b(arr.tobytes(), digest_size=16).digest(), rank, center)
+    if key not in _FIT_CACHE:
+        if len(_FIT_CACHE) >= _FIT_CACHE_MAX:
+            _FIT_CACHE.pop(next(iter(_FIT_CACHE)))
+        _FIT_CACHE[key] = fit_item_embeddings(arr, rank, center)
+    return _FIT_CACHE[key]
+
+
 @functools.partial(jax.jit, static_argnames=())
 def axn_complete(
     index: AxnIndex,

@@ -512,6 +512,22 @@ class CurRetriever:
         # removed; see remove_items)
         return np.asarray(s)[:q], self.item_ids[np.asarray(i)[:q]]
 
+    def tokenize_query(
+        self, mention: str, context_left: str = "", context_right: str = ""
+    ) -> List[int]:
+        """The query-tokenization contract (lowercasing + quota-balanced
+        context representation at max_query_len) — the single source for
+        both the query() API and the serve CLI."""
+        return get_context_representation_ids(
+            {
+                "mention": mention.lower(),
+                "context_left": context_left.lower(),
+                "context_right": context_right.lower(),
+            },
+            self.tokenizer,
+            self.max_query_len,
+        )
+
     def query(
         self,
         mention: str,
@@ -521,15 +537,7 @@ class CurRetriever:
         top_k_retvr: int = 100,
     ) -> List[Tuple[int, float]]:
         """Single text query -> [(item_id, score)]."""
-        ids = get_context_representation_ids(
-            {
-                "mention": mention.lower(),
-                "context_left": context_left.lower(),
-                "context_right": context_right.lower(),
-            },
-            self.tokenizer,
-            self.max_query_len,
-        )
+        ids = self.tokenize_query(mention, context_left, context_right)
         scores, idx = self.query_tokens_batch(
             np.asarray([ids], np.int32), top_k=top_k, top_k_retvr=top_k_retvr
         )
@@ -714,6 +722,15 @@ class CurRetriever:
         q_pad = chunk0 * n_chunks
         qtoks = np.zeros((q_pad, lm), np.int32)
         qtoks[:q] = query_tokens
+        if train_scores is not None and train_scores.shape[1] != n_items:
+            # candidate ids come from train columns; a mismatched train
+            # matrix would make the CE stage gather CLAMPED (wrong)
+            # item tokens with no error on TPU
+            raise ValueError(
+                f"train_scores has {train_scores.shape[1]} item columns but "
+                f"the corpus has {n_items} items — pass a train matrix over "
+                "the SAME item set"
+            )
         train = (
             jnp.asarray(train_scores, jnp.float32)
             if train_scores is not None
@@ -728,7 +745,19 @@ class CurRetriever:
             q_pad, lm, total_budget, n_rounds, top_k, ridge_rel, method, axn_lam_rel
         )
         if method == "axn":
-            idx = self._axn_index(train, axn_rank)
+            if train_scores is not None:
+                # explicit train matrices are cached by CONTENT — a
+                # same-shaped but different matrix must not reuse a
+                # stale fit (the internal matrix is shape-keyed because
+                # _invalidate clears the cache on corpus edits)
+                from anncur_tpu.core.axn import fit_item_embeddings_cached
+
+                idx = fit_item_embeddings_cached(
+                    np.asarray(train_scores),
+                    axn_rank or min(train_scores.shape),
+                )
+            else:
+                idx = self._axn_index(train, axn_rank)
             s, i, _ = fn(
                 self.params, jnp.asarray(qtoks), items, train, anchors0,
                 idx.item_embeds, idx.mean,
@@ -739,9 +768,11 @@ class CurRetriever:
 
     def _axn_index(self, train: jnp.ndarray, rank: Optional[int]):
         """Fit (and cache) the AXN factorized item embeddings from the
-        train matrix. Cache is keyed by rank and cleared on corpus edits
-        (_invalidate); train_scores passed explicitly bypass the cache
-        only if their shape differs from the cached fit."""
+        retriever's OWN train matrix. Cache is keyed by (rank, shape)
+        and cleared on corpus edits (_invalidate) — valid only because
+        the internal matrix can't change otherwise; caller-provided
+        train_scores go through the content-keyed
+        axn.fit_item_embeddings_cached instead."""
         from anncur_tpu.core.axn import fit_item_embeddings
 
         rank = rank or min(train.shape)

@@ -267,7 +267,8 @@ class Trainer:
                 if multi:
                     raise ValueError(
                         f"multi-host training requires the global micro-batch "
-                        f"({micro_b}) to divide the mesh data axis ({n_dev})"
+                        f"({micro_b}) to be divisible by the mesh data axis "
+                        f"({n_dev}) — pad train_batch_size/grad_acc_steps"
                     )
                 spec = P()
                 if micro_b not in self._warned_replicated:

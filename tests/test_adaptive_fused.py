@@ -207,3 +207,62 @@ def test_retriever_fused_adaptive_axn(retriever_setup):
         np.testing.assert_allclose(
             scores[i], full_scores[16 + i, ids[i]], rtol=1e-4, atol=1e-4
         )
+
+
+def test_take_per_row_overflow_guard():
+    """q*m past int32 must raise at trace time (TPU take would CLAMP the
+    overflowed flat indices -> silently wrong gathers)."""
+    from anncur_tpu.core.adaptive_fused import take_per_row
+
+    big = jax.ShapeDtypeStruct((1024, 3_000_000), jnp.float32)  # 3.07e9 > 2^31
+    ids = jax.ShapeDtypeStruct((1024, 4), jnp.int32)
+    with pytest.raises(ValueError, match="overflows int32"):
+        jax.eval_shape(take_per_row, big, ids)
+    # under the limit still traces fine
+    ok = jax.ShapeDtypeStruct((16, 1000), jnp.float32)
+    out = jax.eval_shape(take_per_row, ok, jax.ShapeDtypeStruct((16, 4), jnp.int32))
+    assert out.shape == (16, 4)
+
+
+def test_fused_adaptive_rejects_mismatched_train_items(retriever_setup):
+    """A train matrix over a different item set would gather clamped
+    (wrong) item tokens with no error on TPU — must raise instead."""
+    retriever, ment, full_scores, _ = retriever_setup
+    with pytest.raises(ValueError, match="item columns"):
+        retriever.query_tokens_adaptive_fused(
+            ment[16:20], total_budget=12, n_rounds=2, top_k=5,
+            train_scores=full_scores[:16, :30],
+        )
+
+
+def test_axn_fit_cache_is_content_keyed():
+    """Same-shaped but different train matrices must not share a fit;
+    identical content (even a copy) must."""
+    from anncur_tpu.core.axn import fit_item_embeddings_cached
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((12, 30)).astype(np.float32)
+    b = rng.standard_normal((12, 30)).astype(np.float32)
+    fa = fit_item_embeddings_cached(a, 6)
+    assert fit_item_embeddings_cached(a.copy(), 6) is fa
+    fb = fit_item_embeddings_cached(b, 6)
+    assert not np.allclose(np.asarray(fa.item_embeds), np.asarray(fb.item_embeds))
+
+
+def test_retriever_explicit_train_bypasses_shape_keyed_axn_cache(
+    retriever_setup, monkeypatch
+):
+    """Caller-provided train_scores must route through the content-keyed
+    fit, never the retriever's shape-keyed cache (which would return a
+    stale fit for a same-shaped but different matrix)."""
+    retriever, ment, full_scores, _ = retriever_setup
+
+    def boom(*a, **k):
+        raise AssertionError("_axn_index used for explicit train_scores")
+
+    monkeypatch.setattr(retriever, "_axn_index", boom)
+    scores, ids = retriever.query_tokens_adaptive_fused(
+        ment[16:20], total_budget=24, n_rounds=3, top_k=5,
+        train_scores=full_scores[:16], method="axn", axn_rank=8,
+    )
+    assert scores.shape == (4, 5)

@@ -118,7 +118,18 @@ def main():
             if r["matched_budget"] is not None
         }
         if matched:
-            best = min(matched.items(), key=lambda kv: (kv[1], kv[0]))[0]
+            # stated policy: smallest budget, ties -> fewer rounds, cur
+            # before axn (a lexical key would put 'axn' first and order
+            # 'r10' before 'r3')
+            def _order(mk):
+                r = out["scenarios"][key][mk]
+                return (
+                    r["matched_budget"],
+                    r["n_rounds"],
+                    0 if mk.startswith("cur") else 1,
+                )
+
+            best = min(matched, key=_order)
             res = out["scenarios"][key][best]
             headline = key
             out["headline_scenario"] = key
