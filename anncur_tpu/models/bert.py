@@ -157,9 +157,41 @@ def _gelu(x, approximate=None):
     return jax.nn.gelu(x, approximate=approximate)
 
 
+# Attention einsum spelling. Probe knob (tools/probe_attn_layouts.py):
+# the hlo_stats trace shows ~34 layout copies ({2,1,0}->{1,2,0} on the
+# QKV projection outputs, 2.46 ms each = 13.6% of the build step) from
+# XLA's layout assignment around the batched score/context dots;
+# alternative spellings steer that assignment. Measured (v5e, b=2048
+# s=256 bf16, 10 reps): 'bqnk' (scores laid out (b, s, nh, s), softmax
+# still over the key axis) 3142 pairs/s vs 'bnqk' 3099 (+1.4%,
+# bit-identical outputs — same dots, different XLA layout assignment);
+# 'bnsd_proj' (project straight into (b, heads, s, d)) LOSES 20% — the
+# 3-d weight einsum defeats the plain-matmul tiling. Default: bqnk.
+_ATTN_SPELLING = "bqnk"
+
+
 def _attention(x, mask_bias, p, spec: BertSpec, dtype, dropout_rng, dropout_rate):
     b, s, h = x.shape
     nh, hd = spec.num_heads, spec.head_dim
+    spelling = _ATTN_SPELLING
+
+    if spelling == "bnsd_proj":
+        def proj(kern, bias):
+            w = kern.astype(dtype).reshape(h, nh, hd)
+            y = jnp.einsum("bsh,hnd->bnsd", x.astype(dtype), w)
+            return y + bias.astype(dtype).reshape(1, nh, 1, hd)
+
+        q, k, v = proj(p["q_kernel"], p["q_bias"]), proj(p["k_kernel"], p["k_bias"]), proj(p["v_kernel"], p["v_bias"])
+        scores = jnp.einsum("bnqd,bnkd->bnqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(hd) + mask_bias  # (b, nh, s, s)
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        if dropout_rng is not None and dropout_rate > 0.0:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v, preferred_element_type=dtype)
+        wo = p["out_kernel"].astype(dtype).reshape(nh, hd, h)
+        out = jnp.einsum("bnqd,ndh->bqh", ctx.astype(dtype), wo)
+        return out + p["out_bias"].astype(dtype)
 
     q = _dense(x, p["q_kernel"], p["q_bias"], dtype).reshape(b, s, nh, hd)
     k = _dense(x, p["k_kernel"], p["k_bias"], dtype).reshape(b, s, nh, hd)
@@ -171,6 +203,14 @@ def _attention(x, mask_bias, p, spec: BertSpec, dtype, dropout_rng, dropout_rate
     )
     if use_flash:
         ctx = _flash_attention(q, k, v, mask_bias, hd)
+    elif spelling == "bqnk":
+        scores = jnp.einsum("bqnd,bknd->bqnk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(hd) + mask_bias  # (b, s, nh, s); (b,1,1,s) bcasts over q,n
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        if dropout_rng is not None and dropout_rate > 0.0:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        ctx = jnp.einsum("bqnk,bknd->bqnd", probs, v, preferred_element_type=dtype)
     else:
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(hd) + mask_bias  # (b, nh, s, s)

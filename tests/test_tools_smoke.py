@@ -73,7 +73,11 @@ def test_profile_build_quick(tmp_path):
         env=env, capture_output=True, text=True, timeout=600,
     )
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
-    start = r.stdout.find('{\n')
-    d = json.loads(r.stdout[start:])
+    # stdout = one-line stage/progress JSONs, then pretty-printed result
+    # blobs; the FINAL blob (starting at the last top-level "{" line) is
+    # the full report
+    lines = r.stdout.splitlines()
+    start_line = max(i for i, ln in enumerate(lines) if ln == "{")
+    d = json.loads("\n".join(lines[start_line:]))
     assert d["full_step_s"] > 0
     assert set(d["families"]) >= {"proj_matmul_hh", "attn_softmax", "gelu", "layernorm"}

@@ -39,13 +39,17 @@ def parse_trace_hlo_stats(trace_dir: str, top_n: int = 15):
     via the xprof converter (returns None if parsing is unavailable)."""
     import glob
 
-    paths = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb"))
+    paths = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb")))
     if not paths:
         return None
     try:
         from xprof.convert import raw_to_tool_data
 
-        data, _ = raw_to_tool_data.xspace_to_tool_data(paths, "hlo_stats", {})
+        # single newest session only: the converter returns None when fed
+        # xspaces from different profiling sessions
+        data, _ = raw_to_tool_data.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
+        if isinstance(data, bytes):
+            data = data.decode()
         d = json.loads(data)
     except Exception as e:
         return {"error": f"{type(e).__name__}: {e}"}
@@ -81,18 +85,27 @@ def parse_trace_hlo_stats(trace_dir: str, top_n: int = 15):
     }
 
 
-def timed(fn, *args, reps=3):
+def _force(out):
+    # axon-tunnel gotcha: block_until_ready can return before queued work
+    # (incl. the remote COMPILE) has executed for large outputs; a tiny
+    # scalar fetch forces completion. The reduction runs ON DEVICE —
+    # np.asarray(leaf) would pull the whole (possibly GB-sized) output
+    # through the tunnel
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
     jax.block_until_ready(out)
-    # axon-tunnel gotcha: force a tiny fetch so queued work really ran
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    tiny = leaf[(slice(0, 1),) * leaf.ndim] if leaf.ndim else leaf
+    float(jnp.sum(tiny.astype(jnp.float32)))
+
+
+def timed(fn, *args, reps=3):
+    _force(fn(*args))  # compile + first run fully retired before the clock
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-        jax.block_until_ready(out)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    float(np.asarray(leaf).ravel()[0])
+    _force(out)
     return (time.time() - t0) / reps
 
 
@@ -101,6 +114,8 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--trace-dir", default="/tmp/anncur_profile")
     ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--no-cost-analysis", action="store_true")
+    ap.add_argument("--no-trace", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -129,36 +144,38 @@ def main():
     pairs = rng.integers(1, spec.vocab_size, size=(b, s)).astype(np.int32)
     fse = s // 2
 
+    print(json.dumps({"stage": "init_done", "devices": str(jax.devices())}), flush=True)
     score = jax.jit(lambda p, t: ce.score(p, t, first_segment_end=fse))
+    t_compile = time.time()
+    _force(score(params, jnp.asarray(pairs)))
+    print(json.dumps({"stage": "full_step_compiled", "s": round(time.time() - t_compile, 1)}), flush=True)
     full_t = timed(score, params, jnp.asarray(pairs))
     res = {"shape": {"batch": b, "seq": s}, "full_step_s": round(full_t, 4), "families": {}}
-
-    # XLA's own cost model for the full step
-    try:
-        lowered = score.lower(params, jnp.asarray(pairs))
-        ca = lowered.compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        res["cost_analysis"] = {
-            k: float(v) for k, v in ca.items() if k in ("flops", "bytes accessed")
-        }
-        if "flops" in res["cost_analysis"]:
-            res["model_flops_util_at_197tflops"] = round(
-                res["cost_analysis"]["flops"] / full_t / 197e12, 3
-            )
-    except Exception as e:  # cost_analysis availability varies by backend
-        res["cost_analysis"] = f"unavailable: {e}"
+    print(json.dumps({"stage": "full_step_timed", "s": res["full_step_s"]}), flush=True)
 
     # ---- sub-block programs at layer shapes --------------------------- #
-    x = jnp.asarray(rng.standard_normal((b, s, h)), dtype)
-    w_h_h = jnp.asarray(rng.standard_normal((h, h)) * 0.02, dtype)
-    w_h_i = jnp.asarray(rng.standard_normal((h, inter)) * 0.02, dtype)
-    w_i_h = jnp.asarray(rng.standard_normal((inter, h)) * 0.02, dtype)
-    xi = jnp.asarray(rng.standard_normal((b, s, inter)), dtype)
-    qh = jnp.asarray(rng.standard_normal((b, heads, s, hd)), dtype)
-    probs_shape = jnp.asarray(rng.standard_normal((b, heads, s, s)), dtype)
+    # inputs are generated ON DEVICE: host-side generation at these
+    # shapes (up to 12.9 GB f64 for the attention probs) would stream
+    # gigabytes through the remote-TPU tunnel and stall for hours
+    import jax.random as jrandom
+
+    def dev_normal(key, shape, scale=1.0):
+        arr = jax.jit(
+            lambda k: (jrandom.normal(k, shape, jnp.float32) * scale).astype(dtype),
+        )(jrandom.PRNGKey(key))
+        jax.block_until_ready(arr)
+        return arr
+
+    x = dev_normal(0, (b, s, h))
+    w_h_h = dev_normal(1, (h, h), 0.02)
+    w_h_i = dev_normal(2, (h, inter), 0.02)
+    w_i_h = dev_normal(3, (inter, h), 0.02)
+    xi = dev_normal(4, (b, s, inter))
+    qh = dev_normal(5, (b, heads, s, hd))
+    probs_shape = dev_normal(6, (b, heads, s, s))
     gamma = jnp.ones((h,), jnp.float32)
     beta = jnp.zeros((h,), jnp.float32)
+    print(json.dumps({"stage": "family_inputs_on_device"}), flush=True)
 
     fams = {
         # one (h,h) projection; x4 per layer (q,k,v,out)
@@ -202,9 +219,36 @@ def main():
         print(json.dumps({name: res["families"][name]}), flush=True)
     res["sum_family_estimates_s"] = round(total_est, 4)
     res["unattributed_s"] = round(full_t - total_est, 4)
+    # families are the point of this tool — print them before the
+    # riskier steps (cost_analysis hung indefinitely on the axon remote
+    # backend; the trace needs a working device plane)
+    print(json.dumps(res, indent=1), flush=True)
+
+    # XLA's own cost model for the full step (LAST: may hang on remote
+    # backends — the attribution above is already printed)
+    if not args.no_cost_analysis:
+        try:
+            print(json.dumps({"stage": "cost_analysis_start"}), flush=True)
+            lowered = score.lower(params, jnp.asarray(pairs))
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            res["cost_analysis"] = {
+                k: float(v) for k, v in ca.items() if k in ("flops", "bytes accessed")
+            }
+            if "flops" in res["cost_analysis"]:
+                res["model_flops_util_at_197tflops"] = round(
+                    res["cost_analysis"]["flops"] / full_t / 197e12, 3
+                )
+        except Exception as e:  # cost_analysis availability varies by backend
+            res["cost_analysis"] = f"unavailable: {e}"
 
     # ---- profiler trace ------------------------------------------------ #
+    if args.no_trace:
+        print(json.dumps(res, indent=1))
+        return
     try:
+        print(json.dumps({"stage": "trace_start"}), flush=True)
         os.makedirs(args.trace_dir, exist_ok=True)
         jax.profiler.start_trace(args.trace_dir)
         out = score(params, jnp.asarray(pairs))
