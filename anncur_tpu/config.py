@@ -27,6 +27,18 @@ def _json_safe(value: Any) -> bool:
     return isinstance(value, (str, float, int, list, bool, dict)) or value is None
 
 
+def _bool_or_mode(s: str):
+    """CLI parser for bool-defaulted fields that also accept a mode
+    string (e.g. --use_remat attn): canonical true/false spellings map
+    to bool, anything else passes through verbatim."""
+    low = s.lower()
+    if low in ("1", "true", "yes"):
+        return True
+    if low in ("0", "false", "no"):
+        return False
+    return s
+
+
 @dataclass
 class Config:
     """All knobs for training / indexing / eval runs.
@@ -75,7 +87,18 @@ class Config:
     learning_rate: float = 1e-5
     weight_decay: float = 0.01
     use_bf16: bool = True  # compute dtype on TPU (reference: fp16 flag)
-    use_remat: bool = False  # rematerialize encoder layers in backprop
+    # rematerialize in backprop: False | True (full per-layer) | "attn"
+    # (selective: recompute only the O(seq^2) attention tensors — see
+    # models/bert.py; pass --use_remat attn on the CLI)
+    use_remat: bool = False
+    # PRNG for dropout/init: "rbg" = TPU hardware RngBitGenerator
+    # (measured +20% CE train step vs threefry — the per-layer
+    # (b, heads, s, s) attention-dropout mask is ~100M threefry calls
+    # that the MXU-adjacent scalar units choke on; rbg makes dropout
+    # free). "threefry" = jax default (bit-reproducible across
+    # backends/toplogies; rbg streams are deterministic per key but
+    # impl-specific). Identical Bernoulli(p) semantics either way.
+    rng_impl: str = "rbg"
 
     ckpt_path: str = ""
     model_type: str = ""  # bi_enc | cross_enc
@@ -162,7 +185,7 @@ class Config:
         for f in dataclasses.fields(dummy):
             default = getattr(dummy, f.name)
             if isinstance(default, bool):
-                parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"), default=None)
+                parser.add_argument(f"--{f.name}", type=_bool_or_mode, default=None)
             elif isinstance(default, (list, tuple)):
                 if len(default):
                     elem_t = type(default[0])
@@ -207,7 +230,9 @@ class Config:
         """Root jax PRNG key for this run; fold per-purpose subkeys off it."""
         import jax
 
-        return jax.random.PRNGKey(self.seed)
+        if self.rng_impl == "threefry":
+            return jax.random.PRNGKey(self.seed)
+        return jax.random.key(self.seed, impl=self.rng_impl)
 
     def seed_host_rngs(self) -> None:
         """Seed host-side numpy/python RNGs (sampling anchors, shuffles)."""

@@ -170,10 +170,30 @@ def _gelu(x, approximate=None):
 _ATTN_SPELLING = "bqnk"
 
 
+def _ss_tag(t):
+    """Tag an O(seq^2) attention intermediate for the selective-remat
+    policy (remat='attn'): tagged tensors are NOT saved for backward —
+    they are recomputed from Q/K (MXU work), which beats streaming
+    ~400 MB f32 score tensors through HBM (measured: the (s,s)-touching
+    backward fusions are HBM-bound at ~12 TFLOP/s = 38% of the train
+    step at bench shapes, tools/profile_train.py)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(t, "attn_ss")
+
+
 def _attention(x, mask_bias, p, spec: BertSpec, dtype, dropout_rng, dropout_rate):
     b, s, h = x.shape
     nh, hd = spec.num_heads, spec.head_dim
     spelling = _ATTN_SPELLING
+
+    def drop(probs):
+        if dropout_rng is not None and dropout_rate > 0.0:
+            keep = _ss_tag(
+                jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+            )
+            probs = _ss_tag(jnp.where(keep, probs / (1.0 - dropout_rate), 0.0))
+        return probs
 
     if spelling == "bnsd_proj":
         def proj(kern, bias):
@@ -183,11 +203,8 @@ def _attention(x, mask_bias, p, spec: BertSpec, dtype, dropout_rng, dropout_rate
 
         q, k, v = proj(p["q_kernel"], p["q_bias"]), proj(p["k_kernel"], p["k_bias"]), proj(p["v_kernel"], p["v_bias"])
         scores = jnp.einsum("bnqd,bnkd->bnqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(hd) + mask_bias  # (b, nh, s, s)
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        if dropout_rng is not None and dropout_rate > 0.0:
-            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        scores = _ss_tag(scores / math.sqrt(hd) + mask_bias)  # (b, nh, s, s)
+        probs = drop(_ss_tag(jax.nn.softmax(scores, axis=-1).astype(dtype)))
         ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v, preferred_element_type=dtype)
         wo = p["out_kernel"].astype(dtype).reshape(nh, hd, h)
         out = jnp.einsum("bnqd,ndh->bqh", ctx.astype(dtype), wo)
@@ -205,19 +222,13 @@ def _attention(x, mask_bias, p, spec: BertSpec, dtype, dropout_rng, dropout_rate
         ctx = _flash_attention(q, k, v, mask_bias, hd)
     elif spelling == "bqnk":
         scores = jnp.einsum("bqnd,bknd->bqnk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(hd) + mask_bias  # (b, s, nh, s); (b,1,1,s) bcasts over q,n
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        if dropout_rng is not None and dropout_rate > 0.0:
-            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        scores = _ss_tag(scores / math.sqrt(hd) + mask_bias)  # (b, s, nh, s); (b,1,1,s) bcasts over q,n
+        probs = drop(_ss_tag(jax.nn.softmax(scores, axis=-1).astype(dtype)))
         ctx = jnp.einsum("bqnk,bknd->bqnd", probs, v, preferred_element_type=dtype)
     else:
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(hd) + mask_bias  # (b, nh, s, s)
-        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        if dropout_rng is not None and dropout_rate > 0.0:
-            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        scores = _ss_tag(scores / math.sqrt(hd) + mask_bias)  # (b, nh, s, s)
+        probs = drop(_ss_tag(jax.nn.softmax(scores, axis=-1).astype(dtype)))
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v, preferred_element_type=dtype)
     ctx = ctx.astype(dtype).reshape(b, s, h)
     return _dense(ctx, p["out_kernel"], p["out_bias"], dtype)
@@ -321,7 +332,7 @@ def bert_encode(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     dropout_rng: Optional[jax.Array] = None,
     dropout: bool = False,
-    remat: bool = False,
+    remat=False,  # False | True (full per-layer) | 'attn' (selective)
     cls_only: bool = False,
     out_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -360,7 +371,19 @@ def bert_encode(
     mask_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
 
     layer_fn = _encoder_layer
-    if remat:
+    if remat == "attn":
+        # selective: save all layer intermediates EXCEPT the O(seq^2)
+        # attention tensors tagged "attn_ss" (scores/probs/dropout mask)
+        # — recomputing those from Q/K costs cheap MXU time and removes
+        # the HBM-bound backward streaming (38% of the train step,
+        # tools/profile_train.py). Unlike full remat (a measured LOSS,
+        # CLAUDE.md), nothing else is recomputed.
+        layer_fn = jax.checkpoint(
+            _encoder_layer,
+            policy=jax.checkpoint_policies.save_any_names_but_these("attn_ss"),
+            static_argnums=(3, 4, 6),
+        )
+    elif remat:
         layer_fn = jax.checkpoint(_encoder_layer, static_argnums=(3, 4, 6))
 
     if rate and dropout_rng is not None:

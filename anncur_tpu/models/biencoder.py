@@ -45,9 +45,11 @@ class BiEncoder:
     embed_dim: int = 768
     add_linear_layer: bool = False
     compute_dtype: Any = jnp.bfloat16
-    # rematerialize encoder layers during backprop (memory for FLOPs;
-    # enables larger training batches)
-    remat: bool = False
+    # rematerialize during backprop: True = full per-layer remat
+    # (memory for FLOPs; measured LOSS at CE bench shapes), 'attn' =
+    # selective remat of only the O(seq^2) attention tensors (recompute
+    # beats the HBM-bound backward streaming; see models/bert.py)
+    remat: Any = False
 
     def __post_init__(self):
         if not self.add_linear_layer and self.embed_dim != self.spec.hidden_size:

@@ -48,9 +48,11 @@ class CrossEncoder:
     cross_enc_type: str = "default"  # default | w_embeds
     pooling_type: str = "cls_w_lin"
     compute_dtype: Any = jnp.bfloat16
-    # rematerialize encoder layers during backprop (memory for FLOPs;
-    # enables larger training batches)
-    remat: bool = False
+    # rematerialize during backprop: True = full per-layer remat
+    # (memory for FLOPs; measured LOSS at CE bench shapes), 'attn' =
+    # selective remat of only the O(seq^2) attention tensors (recompute
+    # beats the HBM-bound backward streaming; see models/bert.py)
+    remat: Any = False
 
     def init(self, key: jax.Array) -> Dict[str, Any]:
         k_bert, k_lin = jax.random.split(key)

@@ -17,14 +17,38 @@ import pickle
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 LOGGER = logging.getLogger(__name__)
 
 
+class _KeyLeaf:
+    """Pickle-safe stand-in for a typed PRNG key array (e.g. the rbg
+    hardware-RNG keys the trainer uses for dropout): raw key data plus
+    the impl name, restored with jax.random.wrap_key_data."""
+
+    def __init__(self, data: np.ndarray, impl: str):
+        self.data = data
+        self.impl = impl
+
+
+def _to_host(x):
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        impl = str(jax.random.key_impl(x))
+        return _KeyLeaf(np.asarray(jax.random.key_data(x)), impl)
+    return np.asarray(x)
+
+
+def _from_host(x):
+    if isinstance(x, _KeyLeaf):
+        return jax.random.wrap_key_data(jnp.asarray(x.data), impl=x.impl)
+    return x
+
+
 def save_pytree(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    host_tree = jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    host_tree = jax.tree_util.tree_map(_to_host, tree)
     with open(path, "wb") as fout:
         pickle.dump({"tree": host_tree, "metadata": metadata or {}}, fout)
 
@@ -32,7 +56,10 @@ def save_pytree(path: str, tree: Any, metadata: Optional[Dict] = None) -> None:
 def load_pytree(path: str) -> Tuple[Any, Dict]:
     with open(path, "rb") as fin:
         data = pickle.load(fin)
-    return data["tree"], data.get("metadata", {})
+    tree = jax.tree_util.tree_map(
+        _from_host, data["tree"], is_leaf=lambda x: isinstance(x, _KeyLeaf)
+    )
+    return tree, data.get("metadata", {})
 
 
 class TopKCheckpointManager:

@@ -351,6 +351,9 @@ class Trainer:
                     params=tree["params"],
                     opt_state=tree["opt_state"],
                     step=jnp.asarray(tree["step"], jnp.int32),
+                    # older checkpoints predate the rng leaf; fall back
+                    # to the fresh seed-derived stream for those
+                    rng=tree.get("rng", state.rng),
                 )
                 start_epoch = last["epoch"] + 1
                 LOGGER.info("resumed from %s (epoch %d)", last["path"], start_epoch)
@@ -395,7 +398,15 @@ class Trainer:
             if dev_data is not None:
                 self._dev_eval_and_ckpt(state, dev_data, batch_size, epoch)
             self._ckpt.save_end_of_epoch(
-                {"params": state.params, "opt_state": state.opt_state, "step": int(state.step)},
+                {
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "step": int(state.step),
+                    # rng continuity: resume must pick up the dropout
+                    # stream mid-sequence, not rewind to the seed
+                    # (typed rbg keys pickle via checkpoint._KeyLeaf)
+                    "rng": state.rng,
+                },
                 epoch,
                 int(state.step),
             )
@@ -421,7 +432,12 @@ class Trainer:
         )
         if np.isfinite(metric_val):
             self._ckpt.maybe_save(
-                {"params": state.params, "opt_state": state.opt_state, "step": int(state.step)},
+                {
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "step": int(state.step),
+                    "rng": state.rng,
+                },
                 metric_val,
                 int(state.step),
                 epoch,

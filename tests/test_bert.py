@@ -128,3 +128,39 @@ def test_gelu_auto_flavor():
         np.asarray(_gelu(xb, approximate=False)),
         np.asarray(jax.nn.gelu(xb, approximate=False)),
     )
+
+
+def test_remat_modes_grad_identical():
+    """Selective attention remat ('attn': recompute only the O(s^2)
+    score/prob tensors in backward) and full per-layer remat must both
+    produce bit-identical gradients to the no-remat forward — remat is
+    a scheduling choice, never a numerics one. Covers the dropout path
+    too (mask regenerated from the same rng during recompute)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.crossencoder import CrossEncoder
+
+    spec = BertSpec.tiny(vocab_size=256, max_position_embeddings=64)
+    pairs = jnp.asarray(
+        np.random.default_rng(0).integers(1, 250, size=(4, 48)).astype(np.int32)
+    )
+    rng = jax.random.PRNGKey(7)
+
+    grads = {}
+    for mode in (False, "attn", True):
+        ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32, remat=mode)
+        params = ce.init(jax.random.PRNGKey(1))
+
+        def loss(p):
+            s = ce.score(p, pairs, first_segment_end=24, train=True, rng=rng)
+            return jnp.sum(s**2)
+
+        grads[mode] = jax.jit(jax.grad(loss))(params)
+
+    ref = jax.tree_util.tree_leaves(grads[False])
+    for mode in ("attn", True):
+        for a, b in zip(jax.tree_util.tree_leaves(grads[mode]), ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

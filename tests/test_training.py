@@ -418,3 +418,75 @@ def test_grad_accum_micro_batches_get_distinct_dropout(tmp_path, tiny_world, mes
     ml = np.asarray(metrics["micro_losses"])
     assert ml.shape == (2,)
     assert ml[0] != ml[1], "identical micro-batches got identical dropout masks"
+
+
+def test_typed_key_checkpoint_roundtrip(tmp_path):
+    """rbg (TPU hardware RNG) keys are typed arrays that plain
+    np.asarray pickling destroys — save_pytree/load_pytree must round
+    them through key_data + wrap_key_data so the restored key emits the
+    SAME random stream (rng continuity across crash-resume)."""
+    key = jax.random.key(42, impl="rbg")
+    key = jax.random.fold_in(key, 7)  # a mid-stream key, not just the seed
+    tree = {"rng": key, "w": jnp.arange(4.0)}
+    path = str(tmp_path / "k.pkl")
+    save_pytree(path, tree, {"note": "x"})
+    loaded, meta = load_pytree(path)
+    assert meta["note"] == "x"
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(loaded["rng"])),
+        np.asarray(jax.random.key_data(key)),
+    )
+    # identical downstream stream: same bernoulli mask from the restored key
+    a = jax.random.bernoulli(key, 0.5, (64,))
+    b = jax.random.bernoulli(loaded["rng"], 0.5, (64,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # untyped (threefry PRNGKey) leaves still round-trip as plain arrays
+    t2 = {"rng": jax.random.PRNGKey(3)}
+    save_pytree(path, t2)
+    l2, _ = load_pytree(path)
+    np.testing.assert_array_equal(np.asarray(l2["rng"]), np.asarray(t2["rng"]))
+
+
+def test_cli_bool_fields_accept_mode_strings():
+    """--use_remat accepts true/false AND mode strings ('attn' =
+    selective attention remat); --rng_impl switches the root key
+    between rbg (typed, default) and threefry (uint32[2])."""
+    cfg = Config()
+    cfg.update_config_from_arg_list(["--use_remat", "attn", "--use_bf16", "false"])
+    assert cfg.use_remat == "attn"
+    assert cfg.use_bf16 is False
+    cfg.update_config_from_arg_list(["--use_remat", "true"])
+    assert cfg.use_remat is True
+    assert jax.dtypes.issubdtype(cfg.prng_key().dtype, jax.dtypes.prng_key)
+    cfg.update_config_from_arg_list(["--rng_impl", "threefry"])
+    k = cfg.prng_key()
+    assert k.dtype == jnp.uint32 and k.shape == (2,)
+
+
+def test_crash_resume_bitwise_with_dropout(tmp_path, tiny_world, mesh8):
+    """Stronger than the dropout-free variant: with dropout ON, resume
+    is bitwise-identical ONLY if the checkpoint restores the rng leaf
+    exactly (typed rbg key through the pickle). Guards the _KeyLeaf
+    path end-to-end through Trainer.train(resume=True)."""
+    data, tok = tiny_world
+    spec = BertSpec.tiny(
+        vocab_size=tok.vocab_size, hidden_size=32, num_layers=1, num_heads=2,
+        intermediate_size=64,  # default dropout rates: ON
+    )
+    enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=32, compute_dtype=jnp.float32)
+
+    cfg_a = _mk_config(tmp_path / "a", model_type="bi_enc", loss_type="ce", num_epochs=1)
+    Trainer(cfg_a, enc, mesh=mesh8, total_steps=30).train(data, dev_data=None)
+    cfg_a2 = _mk_config(tmp_path / "a", model_type="bi_enc", loss_type="ce", num_epochs=3)
+    state_resumed = Trainer(cfg_a2, enc, mesh=mesh8, total_steps=30).train(
+        data, dev_data=None, resume=True
+    )
+    cfg_b = _mk_config(tmp_path / "b", model_type="bi_enc", loss_type="ce", num_epochs=3)
+    state_mono = Trainer(cfg_b, enc, mesh=mesh8, total_steps=30).train(data, dev_data=None)
+
+    assert int(state_resumed.step) == int(state_mono.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_resumed.params),
+        jax.tree_util.tree_leaves(state_mono.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
