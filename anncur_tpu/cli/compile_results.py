@@ -45,6 +45,20 @@ def main(argv=None):
         action="store_true",
         help="skip the per-RQ pivot CSVs / RQ5-RQ6 plots",
     )
+    p.add_argument(
+        "--style",
+        choices=["default", "paper"],
+        default="default",
+        help="'paper' applies the reference's paper-figure styling "
+        "(method display names/colors, fonts, legend layout; "
+        "evalx/paper_style.py)",
+    )
+    p.add_argument(
+        "--latex",
+        action="store_true",
+        help="with --style paper: emit the reference's literal LaTeX "
+        "labels (requires a TeX install)",
+    )
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -88,6 +102,8 @@ def main(argv=None):
                 method_rows,
                 os.path.join(args.out_dir, f"recall_vs_cost_k{top_k}.pdf"),
                 top_k=top_k,
+                style=args.style,
+                latex=args.latex,
             )
             # equal-cost comparison (reference compile equal-cost mode,
             # compile_...py:247-258): best recall per method within each
@@ -149,6 +165,8 @@ def main(argv=None):
                             args.out_dir, "plots", tag, f"{tag}_ce_baselines_{base}.pdf"
                         ),
                         x_prefix=x_prefix,
+                        style=args.style,
+                        latex=args.latex,
                     )
     LOGGER.info("compiled results -> %s", args.out_dir)
 

@@ -100,44 +100,120 @@ def plot_recall_vs_cost(
     out_path: str,
     top_k: int,
     title: Optional[str] = None,
+    style: str = "default",
+    latex: bool = False,
 ) -> str:
     """Recall-vs-CE-call-budget curves for several methods
     (reference RQ1/RQ2 plots; rows from aggregate.recall_vs_cost_table).
-    For each method, plots the best recall achievable within each cost."""
-    fig, ax = plt.subplots(figsize=(7, 5))
-    for method, rows in method_rows.items():
-        if not rows:
-            continue
-        costs = sorted({r["cost"] for r in rows})
-        best = []
-        for c in costs:
-            feas = [r["recall"] for r in rows if r["cost"] <= c]
-            best.append(100 * max(feas))
-        ax.plot(costs, best, marker="o", label=method)
-    ax.set_xlabel("CE calls per query (cost)")
-    ax.set_ylabel(f"Top-{top_k} recall vs exact (%)")
-    ax.set_xscale("log")
-    ax.grid(alpha=0.3)
-    ax.legend()
-    if title:
-        ax.set_title(title)
-    fig.tight_layout()
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    fig.savefig(out_path)
-    plt.close(fig)
+    For each method, plots the best recall achievable within each cost.
+    ``style='paper'`` applies the reference's paper styling (method
+    display names/colors, large fonts, dashed y-grid, legend above —
+    utils/plot_emnlp...py:75-104, 205-221)."""
+    from .paper_style import (
+        legend_above,
+        method_color,
+        method_display,
+        paper_rc,
+        split_model_key,
+    )
+
+    paper = style == "paper"
+    ctx = paper_rc(latex=latex) if paper else _null_ctx()
+    with ctx:
+        fig, ax = plt.subplots(figsize=(8, 5) if paper else (7, 5))
+        for method, rows in method_rows.items():
+            if not rows:
+                continue
+            costs = sorted({r["cost"] for r in rows})
+            best = []
+            for c in costs:
+                feas = [r["recall"] for r in rows if r["cost"] <= c]
+                best.append(100 * max(feas))
+            if paper:
+                key, sub = split_model_key(method)
+                ax.plot(
+                    costs,
+                    best,
+                    marker="o",
+                    label=method_display(key, sub, latex=latex),
+                    color=method_color(key, sub),
+                )
+            else:
+                ax.plot(costs, best, marker="o", label=method)
+        ax.set_xlabel("Inference Cost" if paper else "CE calls per query (cost)")
+        ax.set_ylabel(
+            (r"Top-$k$-Recall" + f" ($k$={top_k})")
+            if paper
+            else f"Top-{top_k} recall vs exact (%)"
+        )
+        ax.set_xscale("log")
+        if paper:
+            legend_above(ax)
+        else:
+            ax.grid(alpha=0.3)
+            ax.legend()
+        if title:
+            ax.set_title(title)
+        fig.tight_layout()
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        fig.savefig(out_path, bbox_inches="tight")
+        plt.close(fig)
     return out_path
+
+
+def _null_ctx():
+    from contextlib import nullcontext
+
+    return nullcontext()
 
 
 def plot_recall_vs_domain_size(
     per_domain: Dict[str, Dict[str, float]],
     out_path: str,
     metric_label: str = "recall@k (%)",
+    style: str = "default",
+    latex: bool = False,
 ) -> str:
     """RQ3-style plot: recall vs number of entities per domain
-    (reference: plot family at utils/plot_emnlp...py:442+).
-    per_domain: {domain: {'n_ents': int, 'recall': float 0..1}}."""
-    fig, ax = plt.subplots(figsize=(7, 5))
+    (reference: plot family at utils/plot_emnlp...py:442-546).
+    per_domain: {domain: {'n_ents': int, 'recall': float 0..1}}.
+    ``style='paper'`` renders the reference's bar-per-domain layout
+    with the royalblue secondary number-of-items axis (510-516)."""
     items = sorted(per_domain.items(), key=lambda kv: kv[1]["n_ents"])
+    if style == "paper":
+        from .paper_style import SECONDARY_AXIS_COLOR, paper_rc
+
+        with paper_rc(latex=latex):
+            fig, ax1 = plt.subplots(figsize=(10, 5))
+            xs = np.arange(len(items))
+            ax1.bar(
+                xs,
+                [100 * v["recall"] for _, v in items],
+                width=0.6,
+                color="yellowgreen",
+            )
+            ax1.set_xticks(xs)
+            ax1.set_xticklabels([n for n, _ in items], fontsize=13, rotation=30, ha="right")
+            ax1.set_xlabel("Item Domains", fontsize=16)
+            ax1.set_ylabel(metric_label, fontsize=16)
+            ax2 = ax1.twinx()
+            ax2.plot(
+                xs,
+                [v["n_ents"] for _, v in items],
+                "-*",
+                color=SECONDARY_AXIS_COLOR,
+            )
+            ax2.set_yscale("log")
+            ax2.set_ylabel("Number of items", fontsize=16)
+            ax2.yaxis.label.set_color(SECONDARY_AXIS_COLOR)
+            plt.setp(ax2.get_yticklabels(), fontsize=12, color=SECONDARY_AXIS_COLOR)
+            ax2.grid(False)
+            fig.tight_layout()
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            fig.savefig(out_path, bbox_inches="tight")
+            plt.close(fig)
+        return out_path
+    fig, ax = plt.subplots(figsize=(7, 5))
     xs = [v["n_ents"] for _, v in items]
     ys = [100 * v["recall"] for _, v in items]
     ax.plot(xs, ys, marker="o")
@@ -158,26 +234,55 @@ def plot_recall_vs_train_size(
     by_train_size: Dict[int, Dict[str, float]],
     out_path: str,
     metric_label: str = "recall@k (%)",
+    style: str = "default",
+    latex: bool = False,
 ) -> str:
     """RQ4-style plot: recall vs number of anchor/train mentions
     (reference: plot family at utils/plot_emnlp...py:550+).
-    by_train_size: {nm_train: {method: recall 0..1}}."""
-    fig, ax = plt.subplots(figsize=(7, 5))
-    sizes = sorted(by_train_size)
-    methods = sorted({m for v in by_train_size.values() for m in v})
-    for method in methods:
-        ys = [100 * by_train_size[s][method] for s in sizes if method in by_train_size[s]]
-        xs = [s for s in sizes if method in by_train_size[s]]
-        ax.plot(xs, ys, marker="o", label=method)
-    ax.set_xscale("log")
-    ax.set_xlabel("number of train/anchor mentions")
-    ax.set_ylabel(metric_label)
-    ax.grid(alpha=0.3)
-    ax.legend()
-    fig.tight_layout()
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    fig.savefig(out_path)
-    plt.close(fig)
+    by_train_size: {nm_train: {method: recall 0..1}}.
+    ``style='paper'`` applies display names/colors + paper layout."""
+    from .paper_style import (
+        legend_above,
+        method_color,
+        method_display,
+        paper_rc,
+        split_model_key,
+    )
+
+    paper = style == "paper"
+    ctx = paper_rc(latex=latex) if paper else _null_ctx()
+    with ctx:
+        fig, ax = plt.subplots(figsize=(8, 5) if paper else (7, 5))
+        sizes = sorted(by_train_size)
+        methods = sorted({m for v in by_train_size.values() for m in v})
+        for method in methods:
+            ys = [100 * by_train_size[s][method] for s in sizes if method in by_train_size[s]]
+            xs = [s for s in sizes if method in by_train_size[s]]
+            if paper:
+                key, sub = split_model_key(method)
+                ax.plot(
+                    xs,
+                    ys,
+                    marker="o",
+                    label=method_display(key, sub, latex=latex),
+                    color=method_color(key, sub),
+                )
+            else:
+                ax.plot(xs, ys, marker="o", label=method)
+        ax.set_xscale("log")
+        ax.set_xlabel(
+            "Number of Train Queries" if paper else "number of train/anchor mentions"
+        )
+        ax.set_ylabel(metric_label)
+        if paper:
+            legend_above(ax)
+        else:
+            ax.grid(alpha=0.3)
+            ax.legend()
+        fig.tight_layout()
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        fig.savefig(out_path, bbox_inches="tight")
+        plt.close(fig)
     return out_path
 
 
@@ -189,6 +294,8 @@ def plot_ce_baselines_from_pivot(
     x_vals: Optional[Sequence[int]] = None,  # default: every x column in the CSV
     xlabel: Optional[str] = None,
     title: Optional[str] = None,
+    style: str = "default",
+    latex: bool = False,
 ) -> Optional[str]:
     """RQ5/RQ6-style grouped bar chart of the CE-only baseline family
     (CUR vs fixedITEM vs itemCUR) read from an RQ1/RQ2 pivot CSV
@@ -242,37 +349,61 @@ def plot_ce_baselines_from_pivot(
             cur[x] = max(cur.get(x, 0.0), v)
     if not y_vals:
         return None
-    fig, ax = plt.subplots(figsize=(8, 5))
-    labels = sorted(y_vals)
-    xs_all = [x for x in x_vals if any(x in y_vals[m] for m in labels)]
-    width = 0.8 / max(len(labels), 1)
-    for mi, m in enumerate(labels):
-        # plot only cells the method actually has: a 0.0 stand-in bar is
-        # indistinguishable from a measured 0% recall
-        pts = [(i, y_vals[m][x]) for i, x in enumerate(xs_all) if x in y_vals[m]]
-        if not pts:
-            continue
-        ax.bar(
-            [i + mi * width for i, _ in pts],
-            [v for _, v in pts],
-            width=width,
-            label=m,
-        )
-    ax.set_xticks([i + 0.4 - width / 2 for i in range(len(xs_all))])
-    ax.set_xticklabels([str(x) for x in xs_all])
-    ax.set_xlabel(
-        xlabel
-        or ("Inference Cost" if x_prefix == "cost" else "Number of Items Retrieved")
+    from .paper_style import (
+        legend_above,
+        method_color,
+        method_display,
+        paper_rc,
+        split_model_key,
     )
-    ax.set_ylabel("Top-k recall vs exact (%)")
-    ax.legend()
-    ax.grid(alpha=0.3, axis="y")
-    if title:
-        ax.set_title(title)
-    fig.tight_layout()
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    fig.savefig(out_path)
-    plt.close(fig)
+
+    paper = style == "paper"
+    ctx = paper_rc(latex=latex) if paper else _null_ctx()
+    with ctx:
+        fig, ax = plt.subplots(figsize=(10, 5) if paper else (8, 5))
+        labels = sorted(y_vals)
+        xs_all = [x for x in x_vals if any(x in y_vals[m] for m in labels)]
+        width = 0.8 / max(len(labels), 1)
+        for mi, m in enumerate(labels):
+            # plot only cells the method actually has: a 0.0 stand-in bar is
+            # indistinguishable from a measured 0% recall
+            pts = [(i, y_vals[m][x]) for i, x in enumerate(xs_all) if x in y_vals[m]]
+            if not pts:
+                continue
+            if paper:
+                key, sub = split_model_key(m)
+                ax.bar(
+                    [i + mi * width for i, _ in pts],
+                    [v for _, v in pts],
+                    width=width,
+                    label=method_display(key, sub, latex=latex),
+                    color=method_color(key, sub),
+                )
+            else:
+                ax.bar(
+                    [i + mi * width for i, _ in pts],
+                    [v for _, v in pts],
+                    width=width,
+                    label=m,
+                )
+        ax.set_xticks([i + 0.4 - width / 2 for i in range(len(xs_all))])
+        ax.set_xticklabels([str(x) for x in xs_all])
+        ax.set_xlabel(
+            xlabel
+            or ("Inference Cost" if x_prefix == "cost" else "Number of Items Retrieved")
+        )
+        ax.set_ylabel(r"Top-$k$-Recall" if paper else "Top-k recall vs exact (%)")
+        if paper:
+            legend_above(ax, ncol=max(1, (len(labels) + 1) // 2))
+        else:
+            ax.legend()
+            ax.grid(alpha=0.3, axis="y")
+        if title:
+            ax.set_title(title)
+        fig.tight_layout()
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        fig.savefig(out_path, bbox_inches="tight")
+        plt.close(fig)
     return out_path
 
 

@@ -180,3 +180,80 @@ def test_rq_plots(tmp_path):
         str(tmp_path / "rq4.pdf"),
     )
     assert os.path.exists(p1) and os.path.exists(p2)
+
+
+def test_paper_style_mapping():
+    """The paper display-name/color map must match the reference's
+    assignments exactly (plot_emnlp...py:75-104, 289-294): annCUR
+    yellowgreen family, fixedITEM darkblue, itemCUR turquoise/teal,
+    TF-IDF lightseagreen, DE gold/darkorange/maroon."""
+    from anncur_tpu.evalx.paper_style import (
+        method_color,
+        method_display,
+        split_model_key,
+    )
+
+    assert method_display("cur") == "annCUR"
+    assert method_display("cur", "100") == "annCUR$_{100}$"
+    assert method_display("cur", "100", latex=True) == r"\textsc{annCUR}\textsubscript{100}"
+    assert method_display("fixed_anc_ent") == "fixedITEM"
+    assert method_display("fixed_anc_ent_cur", "200") == "itemCUR$_{200}$"
+    assert method_display("tfidf") == "TF-IDF"
+    assert method_display("bienc", "base+ce") == "DE$_{base+ce}$"
+    assert method_display("unknown_method") == "unknown_method"
+
+    assert method_color("tfidf") == "lightseagreen"
+    assert method_color("cur", "100") == "limegreen"
+    assert method_color("cur", "200") == "darkgreen"
+    assert method_color("cur") == "yellowgreen"
+    assert method_color("fixed_anc_ent") == "darkblue"
+    assert method_color("fixed_anc_ent_cur", "200") == "teal"
+    assert method_color("bienc", "bert+ce") == "maroon"
+    assert method_color("nope") is None
+
+    # longest-key-wins split: itemCUR rows must not parse as fixedITEM
+    assert split_model_key("fixed_anc_ent_cur_200") == ("fixed_anc_ent_cur", "200")
+    assert split_model_key("fixed_anc_ent") == ("fixed_anc_ent", None)
+    assert split_model_key("cur_100") == ("cur", "100")
+    assert split_model_key("bienc") == ("bienc", None)
+
+
+def test_paper_style_plots_render(tmp_path):
+    """Every RQ plot family renders under style='paper' (no LaTeX
+    needed: mathtext subscripts stand in for \\textsubscript)."""
+    from anncur_tpu.evalx.plots import (
+        plot_ce_baselines_from_pivot,
+        plot_recall_vs_cost,
+        plot_recall_vs_domain_size,
+        plot_recall_vs_train_size,
+    )
+
+    rows = {
+        "cur": [{"cost": 10, "recall": 0.5}, {"cost": 100, "recall": 0.9}],
+        "fixed_anc_ent_cur_100": [{"cost": 10, "recall": 0.4}],
+    }
+    p1 = plot_recall_vs_cost(rows, str(tmp_path / "rc_paper.pdf"), top_k=10, style="paper")
+    p2 = plot_recall_vs_domain_size(
+        {"yugioh": {"n_ents": 10031, "recall": 0.9},
+         "military": {"n_ents": 104520, "recall": 0.8}},
+        str(tmp_path / "rq3_paper.pdf"),
+        style="paper",
+    )
+    p3 = plot_recall_vs_train_size(
+        {100: {"cur": 0.7, "bienc": 0.5}, 2000: {"cur": 0.95, "bienc": 0.5}},
+        str(tmp_path / "rq4_paper.pdf"),
+        style="paper",
+    )
+    import csv as _csv
+
+    csv_path = str(tmp_path / "pivot.csv")
+    with open(csv_path, "w", newline="") as fout:
+        w = _csv.DictWriter(fout, fieldnames=["row", "cost=100", "cost=500"])
+        w.writeheader()
+        w.writerow({"row": "model=cur~anc_n_e=100", "cost=100": "0.8", "cost=500": "0.95"})
+        w.writerow({"row": "model=fixed_anc_ent~anc_n_e=None", "cost=100": "0.5", "cost=500": "0.7"})
+    p4 = plot_ce_baselines_from_pivot(
+        csv_path, str(tmp_path / "rq5_paper.pdf"), x_prefix="cost", style="paper"
+    )
+    for p in (p1, p2, p3, p4):
+        assert p is not None and os.path.exists(p), p
