@@ -27,16 +27,29 @@ def _json_safe(value: Any) -> bool:
     return isinstance(value, (str, float, int, list, bool, dict)) or value is None
 
 
-def _bool_or_mode(s: str):
-    """CLI parser for bool-defaulted fields that also accept a mode
-    string (e.g. --use_remat attn): canonical true/false spellings map
-    to bool, anything else passes through verbatim."""
-    low = s.lower()
-    if low in ("1", "true", "yes"):
-        return True
-    if low in ("0", "false", "no"):
-        return False
-    return s
+# bool-defaulted fields that additionally accept mode strings on the CLI
+_BOOL_MODE_FLAGS = {"use_remat": ("attn",)}
+
+
+def _bool_flag(modes: tuple = ()):
+    """CLI parser factory for bool-defaulted fields. Canonical
+    true/false spellings map to bool; fields listed in _BOOL_MODE_FLAGS
+    also accept their mode strings (e.g. --use_remat attn). Anything
+    else is an argparse error — silently passing unknown strings
+    through would make truthy typos ('off', 'atn') flip behavior."""
+
+    def parse(s: str):
+        low = s.lower()
+        if low in ("1", "true", "yes"):
+            return True
+        if low in ("0", "false", "no"):
+            return False
+        if s in modes:
+            return s
+        allowed = "true/false" + (f" or one of {sorted(modes)}" if modes else "")
+        raise argparse.ArgumentTypeError(f"expected {allowed}, got {s!r}")
+
+    return parse
 
 
 @dataclass
@@ -185,7 +198,11 @@ class Config:
         for f in dataclasses.fields(dummy):
             default = getattr(dummy, f.name)
             if isinstance(default, bool):
-                parser.add_argument(f"--{f.name}", type=_bool_or_mode, default=None)
+                parser.add_argument(
+                    f"--{f.name}",
+                    type=_bool_flag(_BOOL_MODE_FLAGS.get(f.name, ())),
+                    default=None,
+                )
             elif isinstance(default, (list, tuple)):
                 if len(default):
                     elem_t = type(default[0])

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 import os
+from contextlib import nullcontext
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -109,16 +110,10 @@ def plot_recall_vs_cost(
     ``style='paper'`` applies the reference's paper styling (method
     display names/colors, large fonts, dashed y-grid, legend above —
     utils/plot_emnlp...py:75-104, 205-221)."""
-    from .paper_style import (
-        legend_above,
-        method_color,
-        method_display,
-        paper_rc,
-        split_model_key,
-    )
+    from .paper_style import legend_above, paper_rc
 
     paper = style == "paper"
-    ctx = paper_rc(latex=latex) if paper else _null_ctx()
+    ctx = paper_rc(latex=latex) if paper else nullcontext()
     with ctx:
         fig, ax = plt.subplots(figsize=(8, 5) if paper else (7, 5))
         for method, rows in method_rows.items():
@@ -129,17 +124,7 @@ def plot_recall_vs_cost(
             for c in costs:
                 feas = [r["recall"] for r in rows if r["cost"] <= c]
                 best.append(100 * max(feas))
-            if paper:
-                key, sub = split_model_key(method)
-                ax.plot(
-                    costs,
-                    best,
-                    marker="o",
-                    label=method_display(key, sub, latex=latex),
-                    color=method_color(key, sub),
-                )
-            else:
-                ax.plot(costs, best, marker="o", label=method)
+            ax.plot(costs, best, marker="o", **_series_kwargs(method, paper, latex))
         ax.set_xlabel("Inference Cost" if paper else "CE calls per query (cost)")
         ax.set_ylabel(
             (r"Top-$k$-Recall" + f" ($k$={top_k})")
@@ -161,10 +146,19 @@ def plot_recall_vs_cost(
     return out_path
 
 
-def _null_ctx():
-    from contextlib import nullcontext
+def _series_kwargs(method: str, paper: bool, latex: bool) -> dict:
+    """label/color kwargs for one method series: paper display name +
+    reference color under ``style='paper'``, raw key + default color
+    cycle otherwise."""
+    if not paper:
+        return {"label": method}
+    from .paper_style import method_color, method_display, split_model_key
 
-    return nullcontext()
+    key, sub = split_model_key(method)
+    return {
+        "label": method_display(key, sub, latex=latex),
+        "color": method_color(key, sub),
+    }
 
 
 def plot_recall_vs_domain_size(
@@ -241,16 +235,10 @@ def plot_recall_vs_train_size(
     (reference: plot family at utils/plot_emnlp...py:550+).
     by_train_size: {nm_train: {method: recall 0..1}}.
     ``style='paper'`` applies display names/colors + paper layout."""
-    from .paper_style import (
-        legend_above,
-        method_color,
-        method_display,
-        paper_rc,
-        split_model_key,
-    )
+    from .paper_style import legend_above, paper_rc
 
     paper = style == "paper"
-    ctx = paper_rc(latex=latex) if paper else _null_ctx()
+    ctx = paper_rc(latex=latex) if paper else nullcontext()
     with ctx:
         fig, ax = plt.subplots(figsize=(8, 5) if paper else (7, 5))
         sizes = sorted(by_train_size)
@@ -258,17 +246,7 @@ def plot_recall_vs_train_size(
         for method in methods:
             ys = [100 * by_train_size[s][method] for s in sizes if method in by_train_size[s]]
             xs = [s for s in sizes if method in by_train_size[s]]
-            if paper:
-                key, sub = split_model_key(method)
-                ax.plot(
-                    xs,
-                    ys,
-                    marker="o",
-                    label=method_display(key, sub, latex=latex),
-                    color=method_color(key, sub),
-                )
-            else:
-                ax.plot(xs, ys, marker="o", label=method)
+            ax.plot(xs, ys, marker="o", **_series_kwargs(method, paper, latex))
         ax.set_xscale("log")
         ax.set_xlabel(
             "Number of Train Queries" if paper else "number of train/anchor mentions"
@@ -349,16 +327,10 @@ def plot_ce_baselines_from_pivot(
             cur[x] = max(cur.get(x, 0.0), v)
     if not y_vals:
         return None
-    from .paper_style import (
-        legend_above,
-        method_color,
-        method_display,
-        paper_rc,
-        split_model_key,
-    )
+    from .paper_style import legend_above, paper_rc
 
     paper = style == "paper"
-    ctx = paper_rc(latex=latex) if paper else _null_ctx()
+    ctx = paper_rc(latex=latex) if paper else nullcontext()
     with ctx:
         fig, ax = plt.subplots(figsize=(10, 5) if paper else (8, 5))
         labels = sorted(y_vals)
@@ -370,22 +342,12 @@ def plot_ce_baselines_from_pivot(
             pts = [(i, y_vals[m][x]) for i, x in enumerate(xs_all) if x in y_vals[m]]
             if not pts:
                 continue
-            if paper:
-                key, sub = split_model_key(m)
-                ax.bar(
-                    [i + mi * width for i, _ in pts],
-                    [v for _, v in pts],
-                    width=width,
-                    label=method_display(key, sub, latex=latex),
-                    color=method_color(key, sub),
-                )
-            else:
-                ax.bar(
-                    [i + mi * width for i, _ in pts],
-                    [v for _, v in pts],
-                    width=width,
-                    label=m,
-                )
+            ax.bar(
+                [i + mi * width for i, _ in pts],
+                [v for _, v in pts],
+                width=width,
+                **_series_kwargs(m, paper, latex),
+            )
         ax.set_xticks([i + 0.4 - width / 2 for i in range(len(xs_all))])
         ax.set_xticklabels([str(x) for x in xs_all])
         ax.set_xlabel(

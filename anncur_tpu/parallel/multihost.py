@@ -70,11 +70,23 @@ def global_batch_from_local(
 
 def replicate_from_host(mesh: Mesh, tree):
     """Replicate identical host values onto every device of a (possibly
-    multi-process) mesh. All processes must pass the same values."""
+    multi-process) mesh. All processes must pass the same values.
+
+    Typed PRNG keys (jax.random.key — e.g. the default rbg train rng)
+    cannot pass through np.asarray; detour via key_data/wrap_key_data.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), tree
-    )
+
+    def _replicate(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            impl = str(jax.random.key_impl(x))
+            data = jax.make_array_from_process_local_data(
+                sharding, np.asarray(jax.random.key_data(x))
+            )
+            return jax.random.wrap_key_data(data, impl=impl)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(_replicate, tree)
 
 
 def barrier(name: str) -> None:

@@ -139,3 +139,25 @@ def test_build_multihost_rejects_global_mesh(mesh8, tmp_path):
     assert out is not None and out.shape == (4, 8)
     ref = builder(params, ment, ent)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_replicate_from_host_typed_prng_key(mesh8):
+    """replicate_from_host must carry typed PRNG keys (the default rbg
+    train rng) via key_data/wrap_key_data — np.asarray on a typed key
+    raises, which used to kill multi-process training at init_state."""
+    from anncur_tpu.parallel.multihost import replicate_from_host
+
+    key = jax.random.key(7, impl="rbg")
+    tree = {"rng": key, "w": np.ones((3,), np.float32)}
+    out = replicate_from_host(mesh8, tree)
+    assert jax.dtypes.issubdtype(out["rng"].dtype, jax.dtypes.prng_key)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(out["rng"])),
+        np.asarray(jax.random.key_data(key)),
+    )
+    # the replicated key must behave identically to the original
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.uniform(out["rng"], (4,))),
+        np.asarray(jax.random.uniform(key, (4,))),
+    )
+    np.testing.assert_array_equal(np.asarray(out["w"]), tree["w"])

@@ -463,6 +463,19 @@ def test_cli_bool_fields_accept_mode_strings():
     assert k.dtype == jnp.uint32 and k.shape == (2,)
 
 
+def test_cli_bool_fields_reject_unknown_strings():
+    """Unrecognized spellings must ERROR, not pass through as truthy
+    strings: '--use_bf16 off' used to silently keep bf16 enabled and
+    '--use_remat atn' (typo) silently enabled FULL remat (a measured
+    perf loss) instead of selective-attn."""
+    import pytest
+
+    cfg = Config()
+    for bad in (["--use_bf16", "off"], ["--use_remat", "atn"], ["--use_bf16", "attn"]):
+        with pytest.raises(SystemExit):
+            cfg.update_config_from_arg_list(bad)
+
+
 def test_crash_resume_bitwise_with_dropout(tmp_path, tiny_world, mesh8):
     """Stronger than the dropout-free variant: with dropout ON, resume
     is bitwise-identical ONLY if the checkpoint restores the rng leaf

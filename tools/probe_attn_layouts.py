@@ -20,17 +20,9 @@ import argparse
 import json
 import time
 
+from profile_build import _force
+
 SPELLINGS = ("bnqk", "bqnk", "bnsd_proj")
-
-
-def _force(out):
-    import jax
-    import jax.numpy as jnp
-
-    jax.block_until_ready(out)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    tiny = leaf[(slice(0, 1),) * leaf.ndim] if leaf.ndim else leaf
-    return float(jnp.sum(tiny.astype(jnp.float32)))
 
 
 def _build(batch, seq, dtype_name):
@@ -65,11 +57,14 @@ def cpu_check():
 
     ce, params, pairs, fse = _build(4, 64, "f32")
     outs = {}
-    for s in SPELLINGS:
-        bert_mod._ATTN_SPELLING = s
-        fn = jax.jit(lambda p, t: ce.score(p, t, first_segment_end=fse))
-        outs[s] = np.asarray(fn(params, pairs))
-    bert_mod._ATTN_SPELLING = "bnqk"
+    orig_spelling = bert_mod._ATTN_SPELLING
+    try:
+        for s in SPELLINGS:
+            bert_mod._ATTN_SPELLING = s
+            fn = jax.jit(lambda p, t: ce.score(p, t, first_segment_end=fse))
+            outs[s] = np.asarray(fn(params, pairs))
+    finally:
+        bert_mod._ATTN_SPELLING = orig_spelling
     ref = outs["bnqk"]
     report = {
         s: float(np.max(np.abs(outs[s] - ref))) for s in SPELLINGS if s != "bnqk"
@@ -85,24 +80,27 @@ def tpu_probe(batch, seq, reps, spellings=SPELLINGS):
 
     ce, params, pairs, fse = _build(batch, seq, "bf16")
     results = {}
-    for s in spellings:
-        bert_mod._ATTN_SPELLING = s
-        fn = jax.jit(lambda p, t: ce.score(p, t, first_segment_end=fse))
-        t0 = time.time()
-        _force(fn(params, pairs))
-        compile_s = time.time() - t0
-        t0 = time.time()
-        for _ in range(reps):
-            out = fn(params, pairs)
-        _force(out)
-        step_s = (time.time() - t0) / reps
-        results[s] = {
-            "compile_s": round(compile_s, 1),
-            "step_s": round(step_s, 4),
-            "pairs_per_s": round(batch / step_s, 1),
-        }
-        print(json.dumps({s: results[s]}), flush=True)
-    bert_mod._ATTN_SPELLING = "bnqk"
+    orig_spelling = bert_mod._ATTN_SPELLING
+    try:
+        for s in spellings:
+            bert_mod._ATTN_SPELLING = s
+            fn = jax.jit(lambda p, t: ce.score(p, t, first_segment_end=fse))
+            t0 = time.time()
+            _force(fn(params, pairs))
+            compile_s = time.time() - t0
+            t0 = time.time()
+            for _ in range(reps):
+                out = fn(params, pairs)
+            _force(out)
+            step_s = (time.time() - t0) / reps
+            results[s] = {
+                "compile_s": round(compile_s, 1),
+                "step_s": round(step_s, 4),
+                "pairs_per_s": round(batch / step_s, 1),
+            }
+            print(json.dumps({s: results[s]}), flush=True)
+    finally:
+        bert_mod._ATTN_SPELLING = orig_spelling
     base = results[spellings[0]]["step_s"]
     print(
         json.dumps(
