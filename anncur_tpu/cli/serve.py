@@ -53,7 +53,9 @@ def main(argv=None):
     p.add_argument("--ada_method", choices=["cur", "axn"], default="cur")
     p.add_argument("--axn_rank", type=int, default=0, help="0 = full rank")
     p.add_argument("--batch", type=int, default=32,
-                   help="queries per device dispatch (both modes)")
+                   help="queries per device dispatch (both modes); 32 favors "
+                   "latency — adaptive throughput peaks near 512 "
+                   "(measured 11.4 -> 20.3 q/s going 32 -> 512 on v5e)")
     p.add_argument("--max_query_len", type=int, default=None,
                    help="default: the state file's saved value, else 128")
     p.add_argument("--seed", type=int, default=0)

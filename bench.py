@@ -181,10 +181,12 @@ def main():
     n_rounds = n_rounds or 3
     # adaptive throughput grows with the query batch (narrow per-round
     # candidate sets need many queries to fill the MXU: measured 11.4 ->
-    # 17.9 -> 19.6 q/s going 32 -> 128 -> 256 at budget 150, the last at
-    # 97% of the builder's pairs/s roofline; tps=8192 regresses to 16.8
-    # like the fixed path). Default: throughput-serving batch of 256.
-    ada_q = int(os.environ.get("BENCH_ADA_BATCH", "256"))
+    # 17.9 -> 19.7 -> 20.3 -> 20.5 q/s going 32 -> 128 -> 256 -> 512 ->
+    # 1024 at budget 150; tps=8192 regresses to 16.8 like the fixed
+    # path). Default: throughput-serving batch of 512 — 20.28 q/s =
+    # 3042 effective pairs/s = 100% of the builder roofline; 1024 adds
+    # only 1% for 2x the batch latency.
+    ada_q = int(os.environ.get("BENCH_ADA_BATCH", "512"))
     ada_toks = rng.integers(1, spec.vocab_size, size=(ada_q, lm)).astype(np.int32)
     ada_kw = dict(
         total_budget=budget, n_rounds=n_rounds, top_k=10, train_scores=train_scores,
