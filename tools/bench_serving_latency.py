@@ -1,0 +1,137 @@
+"""Serving latency benchmark: per-dispatch p50/p95 for both query modes.
+
+The headline bench (bench.py) measures batched THROUGHPUT; production
+serving also cares about the latency of a single dispatch at small
+batch. This tool measures wall-clock per dispatch for the fixed-anchor
+path (cost = 500 anchors + 100 rerank CE calls/query, the reference
+cost model at run_retrieval_eval_wrt_exact_crossenc.py:480-481) and the
+fused adaptive engine (budget 150, 5 rounds — matched-recall config,
+benchmarks/adaptive_matched_recall.json) across batch sizes, on the
+flagship bert-base CE in bf16 over a 10k-item corpus.
+
+Usage (real TPU; serialize with other TPU work):
+    python -u tools/bench_serving_latency.py [--out benchmarks/serving_latency.json]
+
+Writes one JSON with per-(mode, batch) {p50_ms, p95_ms, qps} plus the
+measurement config. Reps are timed per dispatch (block_until_ready via
+the retriever's host return), first dispatch after compile discarded.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_retriever():
+    import jax
+    import jax.numpy as jnp
+
+    from anncur_tpu.core.cur import build_cur
+    from anncur_tpu.core.retriever import CurRetriever
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.crossencoder import CrossEncoder
+    from anncur_tpu.models.tokenizer import WordPieceTokenizer, make_test_vocab
+
+    spec = BertSpec()
+    ce = CrossEncoder(spec=spec, cross_enc_type="default", compute_dtype=jnp.bfloat16)
+    params = ce.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    n_items, n_train, k_i = 10000, 500, 500
+    item_toks = rng.integers(1, spec.vocab_size, size=(n_items, 128)).astype(np.int32)
+    train_scores = (
+        rng.standard_normal((n_train, 16)) @ rng.standard_normal((16, n_items))
+    ).astype(np.float32)
+    anchors = np.asarray(sorted(rng.choice(n_items, k_i, replace=False)))
+    index = build_cur(
+        rows=jnp.asarray(train_scores),
+        cols=jnp.asarray(train_scores[:, anchors]),
+        row_idxs=jnp.arange(n_train),
+        col_idxs=jnp.asarray(anchors),
+        approx_preference="rows",
+        validate=False,
+    )
+    retriever = CurRetriever(
+        encoder=ce,
+        params=params,
+        tokenizer=WordPieceTokenizer(make_test_vocab()),
+        item_tokens=item_toks,
+        index=index,
+        anchor_item_ids=anchors,
+        target_pairs_per_step=4096,
+    )
+    return retriever, train_scores, spec, rng
+
+
+def time_dispatches(fn, reps: int):
+    """Per-dispatch wall times in ms (fn must block until results are
+    on host — both retriever entry points return numpy)."""
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        times.append((time.time() - t0) * 1000.0)
+    return times
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=os.path.join(REPO, "benchmarks", "serving_latency.json"))
+    ap.add_argument("--reps", type=int, default=12)
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 8, 32, 512])
+    args = ap.parse_args(argv)
+
+    import jax
+
+    retriever, train_scores, spec, rng = build_retriever()
+    results = {}
+    for mode in ("fixed", "adaptive"):
+        for b in args.batches:
+            qt = rng.integers(1, spec.vocab_size, size=(b, 128)).astype(np.int32)
+            if mode == "fixed":
+                fn = lambda: retriever.query_tokens_batch(qt, top_k=10, top_k_retvr=100)
+            else:
+                fn = lambda: retriever.query_tokens_adaptive_fused(
+                    qt, total_budget=150, n_rounds=5, top_k=10,
+                    train_scores=train_scores, method="cur",
+                )
+            t0 = time.time()
+            fn()  # compile + first dispatch (discarded)
+            compile_s = time.time() - t0
+            times = time_dispatches(fn, args.reps)
+            entry = {
+                "p50_ms": round(float(np.percentile(times, 50)), 1),
+                "p95_ms": round(float(np.percentile(times, 95)), 1),
+                "qps": round(b / (np.percentile(times, 50) / 1000.0), 2),
+                "compile_s": round(compile_s, 1),
+                "reps": args.reps,
+            }
+            results[f"{mode}_b{b}"] = entry
+            print(json.dumps({f"{mode}_b{b}": entry}), flush=True)
+
+    out = {
+        "platform": jax.devices()[0].platform,
+        "config": {
+            "model": "bert-base CE bf16",
+            "n_items": 10000,
+            "fixed": "500 anchors + 100 rerank CE calls/query (cost 600)",
+            "adaptive": "budget 150 CE calls, 5 rounds (matched-recall config)",
+        },
+        "results": results,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as fout:
+        json.dump(out, fout, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
