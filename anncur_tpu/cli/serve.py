@@ -12,6 +12,21 @@ Two serving modes (--mode):
              a fraction of the calls (benchmarks/adaptive_matched_
              recall.json). Queries are micro-batched (--batch) either
              way for MXU efficiency.
+
+With --http HOST:PORT the same engine serves over HTTP (stdlib-only,
+one TPU dispatch at a time behind a lock):
+- GET  /healthz            -> {"status", "n_items", "mode", ...}
+- POST /query              -> {"queries": [{"mention", "context_left",
+                              "context_right"}, ...]} (or one bare
+                              query object) -> {"results": [...]}
+- POST /add                -> {"items": [{"title", "description"}, ...]}
+                              -> {"ids": [...]}; each added item costs
+                              k_q CE calls, no index rebuild
+                              (CurRetriever.add_items; requires a state
+                              file built by CurRetriever.build)
+- POST /remove             -> {"ids": [...]} -> {"removed": N}
+Batches are padded to the steady --batch shape so no new device
+programs are traced at serve time.
 """
 
 from __future__ import annotations
@@ -43,6 +58,9 @@ def main(argv=None):
     p.add_argument("--cross_enc_type", default="default")
     p.add_argument("--queries", default="-", help="JSONL with mention/context_left/context_right ('-' = stdin TSV)")
     p.add_argument("--out", default="-", help="output JSONL ('-' = stdout)")
+    p.add_argument("--http", default="",
+                   help="serve over HTTP at HOST:PORT (e.g. ':8080') "
+                   "instead of reading --queries")
     p.add_argument("--top_k", type=int, default=10)
     p.add_argument("--top_k_retvr", type=int, default=100)
     p.add_argument("--mode", choices=["fixed", "adaptive"], default="fixed")
@@ -59,6 +77,10 @@ def main(argv=None):
     p.add_argument("--max_query_len", type=int, default=None,
                    help="default: the state file's saved value, else 128")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", choices=["bf16", "f32"], default="bf16",
+                   help="encoder compute dtype; bf16 is the TPU serving "
+                   "default — use f32 to bit-match an f32-built index "
+                   "(rankings only differ within the score noise floor)")
     p.add_argument("--hidden_size", type=int, default=768)
     p.add_argument("--num_layers", type=int, default=12)
     p.add_argument("--num_heads", type=int, default=12)
@@ -75,7 +97,13 @@ def main(argv=None):
         num_heads=args.num_heads,
         intermediate_size=args.intermediate_size,
     )
-    ce = CrossEncoder(spec=spec, cross_enc_type=args.cross_enc_type)
+    import jax.numpy as jnp
+
+    ce = CrossEncoder(
+        spec=spec,
+        cross_enc_type=args.cross_enc_type,
+        compute_dtype=jnp.float32 if args.compute_dtype == "f32" else jnp.bfloat16,
+    )
     if args.crossenc_ckpt:
         tree, _ = load_pytree(args.crossenc_ckpt)
         params = tree.get("params", tree)
@@ -123,15 +151,14 @@ def main(argv=None):
             query.get("context_right", ""),
         )
 
-    def flush(queries, toks, fout, batch=1):
-        if not queries:
-            return
+    def answer(queries, toks, batch=1):
+        """Shared by the file loop and the HTTP handler: pad the batch
+        to the steady-state shape (a smaller q traces a NEW fused
+        program — 60-90 s remote compile — costing more than the whole
+        run), dispatch once, format per-query result rows."""
         qtoks = np.asarray(toks, np.int32)
         n_real = qtoks.shape[0]
         if n_real < batch:
-            # pad the final partial batch up to the steady-state shape:
-            # a smaller q traces a NEW fused program (60-90 s remote
-            # compile) that would cost more than the whole run
             qtoks = np.concatenate(
                 [qtoks, np.repeat(qtoks[-1:], batch - n_real, axis=0)]
             )
@@ -149,10 +176,20 @@ def main(argv=None):
             scores, ids = retriever.query_tokens_batch(
                 qtoks, top_k=args.top_k, top_k_retvr=args.top_k_retvr
             )
-        for q, s_row, i_row in zip(queries, scores, ids):
-            results = list(zip(i_row.tolist(), s_row.tolist()))
-            fout.write(json.dumps({"query": q["mention"], "results": results}) + "\n")
+        return [
+            {"query": q["mention"], "results": list(zip(i_row.tolist(), s_row.tolist()))}
+            for q, s_row, i_row in zip(queries, scores, ids)
+        ]
+
+    def flush(queries, toks, fout, batch=1):
+        if not queries:
+            return
+        for row in answer(queries, toks, batch):
+            fout.write(json.dumps(row) + "\n")
         fout.flush()
+
+    if args.http:
+        return _serve_http(args, retriever, ce, tokenize, answer)
 
     fin = sys.stdin if args.queries == "-" else open(args.queries)
     fout = sys.stdout if args.out == "-" else open(args.out, "w")
@@ -177,6 +214,125 @@ def main(argv=None):
                 flush(queries, toks, fout, batch)
                 queries, toks = [], []
         flush(queries, toks, fout, batch)
+
+
+def _serve_http(args, retriever, ce, tokenize, answer):
+    """Stdlib HTTP front-end over the serving engine. The TPU runs one
+    program at a time, so every retriever call sits behind a lock; the
+    threaded server only parallelizes request IO."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from anncur_tpu.data.tokenization import get_candidate_representation
+
+    lock = threading.Lock()
+    builder_box = {}
+
+    def get_builder():
+        # lazily built: /add is the only consumer, and it needs a mesh
+        if "b" not in builder_box:
+            import jax
+
+            from anncur_tpu.indexer import ScoreMatrixBuilder
+            from anncur_tpu.parallel import make_mesh
+
+            mesh = make_mesh((len(jax.devices()),), ("data",))
+            builder_box["b"] = ScoreMatrixBuilder(ce, mesh)
+        return builder_box["b"]
+
+    max_item_len = int(retriever.item_tokens.shape[1])
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # route through logging, not stderr
+            LOGGER.info("%s " + fmt, self.address_string(), *a)
+
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._send(404, {"error": "unknown path"})
+            self._send(
+                200,
+                {
+                    "status": "ok",
+                    "n_items": int(retriever.item_tokens.shape[0]),
+                    "mode": args.mode,
+                    "cost_per_query": int(
+                        args.budget if args.mode == "adaptive" else retriever.cost_per_query
+                    ),
+                    "batch": args.batch,
+                },
+            )
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._send(400, {"error": f"bad json: {e}"})
+            try:
+                if self.path == "/query":
+                    queries = req.get("queries", [req] if "mention" in req else [])
+                    if not queries:
+                        return self._send(400, {"error": "no queries"})
+                    rows = []
+                    with lock:
+                        # answer in --batch slices so arbitrary request
+                        # sizes reuse the steady compiled program
+                        for i in range(0, len(queries), args.batch):
+                            chunk = queries[i : i + args.batch]
+                            toks = [tokenize(q) for q in chunk]
+                            rows.extend(answer(chunk, toks, args.batch))
+                    return self._send(200, {"results": rows})
+                if self.path == "/add":
+                    items = req.get("items", [])
+                    if not items:
+                        return self._send(400, {"error": "no items"})
+                    toks = np.asarray(
+                        [
+                            get_candidate_representation(
+                                it.get("description", ""),
+                                retriever.tokenizer,
+                                max_item_len,
+                                candidate_title=it.get("title"),
+                            )["ids"]
+                            for it in items
+                        ],
+                        np.int32,
+                    )
+                    with lock:
+                        ids = retriever.add_items(toks, get_builder())
+                    return self._send(200, {"ids": [int(i) for i in ids]})
+                if self.path == "/remove":
+                    ids = req.get("ids", [])
+                    if not ids:
+                        return self._send(400, {"error": "no ids"})
+                    with lock:
+                        retriever.remove_items(np.asarray(ids, np.int64))
+                    return self._send(200, {"removed": len(ids)})
+                return self._send(404, {"error": "unknown path"})
+            except (ValueError, KeyError) as e:
+                return self._send(400, {"error": str(e)})
+
+    host, _, port = args.http.rpartition(":")
+    server = ThreadingHTTPServer((host or "127.0.0.1", int(port)), Handler)
+    LOGGER.info("HTTP serving on %s:%d (mode=%s)", *server.server_address[:2], args.mode)
+    # test/embedding hook: callers running main() in a thread can reach
+    # the live server (actual port with ':0', shutdown()) through here
+    _serve_http.last_server = server
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return server
 
 
 if __name__ == "__main__":

@@ -347,3 +347,118 @@ def test_serve_cli_adaptive_mode(tmp_path):
         assert all(0 <= i < 20 for i, _ in rec["results"])
         scores = [s for _, s in rec["results"]]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_serve_cli_http_mode(tmp_path, mesh8):
+    """--http: query/add/remove/healthz over the stdlib HTTP front-end,
+    dynamic corpus updates included (add costs k_q CE calls, no
+    rebuild)."""
+    import json as _json
+    import threading
+    import time as _time
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anncur_tpu.cli import serve
+    from anncur_tpu.core.retriever import CurRetriever
+    from anncur_tpu.data.synthetic import make_tokenized_world
+    from anncur_tpu.indexer.score_matrix import ScoreMatrixBuilder
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.crossencoder import CrossEncoder
+    from anncur_tpu.train.checkpoint import save_pytree
+
+    ment, ent, gt, tok = make_tokenized_world(seed=15, n_ents=20, n_ments=10,
+                                              max_ment_len=16, max_ent_len=16)
+    vocab = str(tmp_path / "vocab.txt")
+    tok.save_vocab(vocab)
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1,
+                         num_heads=2, intermediate_size=64)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(4))
+    ckpt = str(tmp_path / "ce.pkl")
+    save_pytree(ckpt, {"params": params})
+
+    # build (not bare-constructed): /add needs U + anchor-query tokens
+    builder = ScoreMatrixBuilder(ce, mesh8, ment_block=2, ent_block=4,
+                                 pair_pad_multiple=32)
+    retr = CurRetriever.build(
+        encoder=ce, params=params, tokenizer=tok,
+        train_query_tokens=np.asarray(ment[:6]), item_tokens=np.asarray(ent),
+        n_anchor_items=5, builder=builder, max_query_len=16,
+    )
+    state = str(tmp_path / "retr_state.pkl")
+    retr.save(state)
+
+    argv = ["--index", state, "--vocab_file", vocab, "--crossenc_ckpt", ckpt,
+            "--http", "127.0.0.1:0", "--top_k", "3", "--top_k_retvr", "8",
+            "--batch", "2", "--max_query_len", "16",
+            "--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
+            "--intermediate_size", "64"]
+    t = threading.Thread(target=serve.main, args=(argv,), daemon=True)
+    t.start()
+    deadline = _time.time() + 60
+    server = None
+    while _time.time() < deadline and server is None:
+        server = getattr(serve._serve_http, "last_server", None)
+        _time.sleep(0.05)
+    assert server is not None, "HTTP server did not come up"
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+
+    def call(path, payload=None):
+        req = urllib.request.Request(
+            base + path,
+            data=None if payload is None else _json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="GET" if payload is None else "POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, _json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        code, health = call("/healthz")
+        assert code == 200 and health["status"] == "ok" and health["n_items"] == 20
+
+        # 3 queries through a batch-2 program: padded tail, results exact
+        code, out = call("/query", {"queries": [
+            {"mention": "alpha beta", "context_left": "gamma"},
+            {"mention": "delta"},
+            {"mention": "epsilon zeta"},
+        ]})
+        assert code == 200 and len(out["results"]) == 3
+        for row in out["results"]:
+            assert len(row["results"]) == 3  # top_k
+            ids = [i for i, _ in row["results"]]
+            assert all(0 <= i < 20 for i in ids)
+
+        # single bare query object also accepted
+        code, out1 = call("/query", {"mention": "alpha beta", "context_left": "gamma"})
+        assert code == 200
+        assert out1["results"][0]["results"] == out["results"][0]["results"]
+
+        code, added = call("/add", {"items": [
+            {"title": "new thing", "description": "alpha alpha beta"}]})
+        assert code == 200 and added["ids"] == [20]
+        code, health = call("/healthz")
+        assert health["n_items"] == 21
+        code, out2 = call("/query", {"mention": "alpha beta"})
+        assert code == 200  # queries recompile against the grown corpus
+
+        code, removed = call("/remove", {"ids": [20]})
+        assert code == 200 and removed["removed"] == 1
+        code, health = call("/healthz")
+        assert health["n_items"] == 20
+
+        # error paths surface as 400s, not hung connections
+        assert call("/query", {})[0] == 400
+        assert call("/remove", {"ids": [999]})[0] == 400
+        assert call("/nope", {"x": 1})[0] == 404
+    finally:
+        server.shutdown()
+        t.join(timeout=30)
+    assert not t.is_alive()
