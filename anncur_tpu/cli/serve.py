@@ -263,8 +263,13 @@ def _serve_http(args, retriever, ce, tokenize, answer):
                     "status": "ok",
                     "n_items": int(retriever.item_tokens.shape[0]),
                     "mode": args.mode,
+                    # total CE calls per query, comparable across modes:
+                    # adaptive spends its whole budget; fixed spends
+                    # n_anchors (approx scores) + top_k_retvr (rerank)
                     "cost_per_query": int(
-                        args.budget if args.mode == "adaptive" else retriever.cost_per_query
+                        args.budget
+                        if args.mode == "adaptive"
+                        else retriever.cost_per_query + args.top_k_retvr
                     ),
                     "batch": args.batch,
                 },
@@ -281,13 +286,21 @@ def _serve_http(args, retriever, ce, tokenize, answer):
                     queries = req.get("queries", [req] if "mention" in req else [])
                     if not queries:
                         return self._send(400, {"error": "no queries"})
+                    # tokenize (pure host-side CPU work) BEFORE taking the
+                    # dispatch lock so concurrent requests only serialize
+                    # on the TPU, not on WordPiece
+                    chunks = [
+                        (c, [tokenize(q) for q in c])
+                        for c in (
+                            queries[i : i + args.batch]
+                            for i in range(0, len(queries), args.batch)
+                        )
+                    ]
                     rows = []
                     with lock:
                         # answer in --batch slices so arbitrary request
                         # sizes reuse the steady compiled program
-                        for i in range(0, len(queries), args.batch):
-                            chunk = queries[i : i + args.batch]
-                            toks = [tokenize(q) for q in chunk]
+                        for chunk, toks in chunks:
                             rows.extend(answer(chunk, toks, args.batch))
                     return self._send(200, {"results": rows})
                 if self.path == "/add":
@@ -317,7 +330,10 @@ def _serve_http(args, retriever, ce, tokenize, answer):
                         retriever.remove_items(np.asarray(ids, np.int64))
                     return self._send(200, {"removed": len(ids)})
                 return self._send(404, {"error": "unknown path"})
-            except (ValueError, KeyError) as e:
+            except (ValueError, KeyError, TypeError, AttributeError) as e:
+                # TypeError/AttributeError cover well-formed JSON of the
+                # wrong shape (top-level array, string query items, ...):
+                # the client must get a 400, not a dropped connection
                 return self._send(400, {"error": str(e)})
 
     host, _, port = args.http.rpartition(":")

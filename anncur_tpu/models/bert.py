@@ -18,6 +18,7 @@ Output contract matches the reference wrapper's expectation of
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, Optional, Tuple
 
@@ -171,18 +172,54 @@ _ATTN_SPELLING = "bqnk"
 
 
 def _ss_tag(t):
-    """Tag an O(seq^2) attention intermediate for the selective-remat
-    policy (remat='attn'): tagged tensors are NOT saved for backward —
-    they are recomputed from Q/K (MXU work), which beats streaming
-    ~400 MB f32 score tensors through HBM (measured: the (s,s)-touching
-    backward fusions are HBM-bound at ~12 TFLOP/s = 38% of the train
-    step at bench shapes, tools/profile_train.py)."""
+    """Name an O(seq^2) attention intermediate (scores/probs/dropout
+    mask). Informational only: useful for jax.ad_checkpoint debugging
+    and user-supplied checkpoint policies. NOTE: name-based policies
+    cannot implement selective remat here — with
+    ``save_anything_except_these_names`` partial eval simply saves the
+    un-named producer of the name eqn (same tensor, one op earlier), so
+    remat='attn' instead checkpoints ``_attn_core`` structurally (its
+    q/k/v INPUTS are saved; everything inside is recomputed)."""
     from jax.ad_checkpoint import checkpoint_name
 
     return checkpoint_name(t, "attn_ss")
 
 
-def _attention(x, mask_bias, p, spec: BertSpec, dtype, dropout_rng, dropout_rate):
+def _attn_core(q, k, v, mask_bias, dropout_rng, dtype, dropout_rate, spelling):
+    """scores -> softmax -> dropout -> context, for the plain-matmul
+    spellings. Kept as a standalone function so remat='attn' can
+    jax.checkpoint exactly this region: the (b, s, nh, s) score/prob/
+    mask tensors are then recomputed in backward from the saved q/k/v
+    (cheap MXU work) instead of being stored across fwd->bwd."""
+
+    def drop(probs):
+        if dropout_rng is not None and dropout_rate > 0.0:
+            keep = _ss_tag(
+                jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+            )
+            probs = _ss_tag(jnp.where(keep, probs / (1.0 - dropout_rate), 0.0))
+        return probs
+
+    hd = q.shape[-1]
+    if spelling == "bqnk":
+        scores = jnp.einsum("bqnd,bknd->bqnk", q, k, preferred_element_type=jnp.float32)
+        scores = _ss_tag(scores / math.sqrt(hd) + mask_bias)  # (b, s, nh, s); (b,1,1,s) bcasts over q,n
+        probs = drop(_ss_tag(jax.nn.softmax(scores, axis=-1).astype(dtype)))
+        ctx = jnp.einsum("bqnk,bknd->bqnd", probs, v, preferred_element_type=dtype)
+    else:
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
+        scores = _ss_tag(scores / math.sqrt(hd) + mask_bias)  # (b, nh, s, s)
+        probs = drop(_ss_tag(jax.nn.softmax(scores, axis=-1).astype(dtype)))
+        ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v, preferred_element_type=dtype)
+    return ctx
+
+
+_attn_core_remat = jax.checkpoint(_attn_core, static_argnums=(5, 6, 7))
+
+
+def _attention(
+    x, mask_bias, p, spec: BertSpec, dtype, dropout_rng, dropout_rate, attn_remat=False
+):
     b, s, h = x.shape
     nh, hd = spec.num_heads, spec.head_dim
     spelling = _ATTN_SPELLING
@@ -220,16 +257,9 @@ def _attention(x, mask_bias, p, spec: BertSpec, dtype, dropout_rng, dropout_rate
     )
     if use_flash:
         ctx = _flash_attention(q, k, v, mask_bias, hd)
-    elif spelling == "bqnk":
-        scores = jnp.einsum("bqnd,bknd->bqnk", q, k, preferred_element_type=jnp.float32)
-        scores = _ss_tag(scores / math.sqrt(hd) + mask_bias)  # (b, s, nh, s); (b,1,1,s) bcasts over q,n
-        probs = drop(_ss_tag(jax.nn.softmax(scores, axis=-1).astype(dtype)))
-        ctx = jnp.einsum("bqnk,bknd->bqnd", probs, v, preferred_element_type=dtype)
     else:
-        scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
-        scores = _ss_tag(scores / math.sqrt(hd) + mask_bias)  # (b, nh, s, s)
-        probs = drop(_ss_tag(jax.nn.softmax(scores, axis=-1).astype(dtype)))
-        ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v, preferred_element_type=dtype)
+        core = _attn_core_remat if attn_remat else _attn_core
+        ctx = core(q, k, v, mask_bias, dropout_rng, dtype, dropout_rate, spelling)
     ctx = ctx.astype(dtype).reshape(b, s, h)
     return _dense(ctx, p["out_kernel"], p["out_bias"], dtype)
 
@@ -305,9 +335,9 @@ def _encoder_layer_select_only(
     return _layer_norm(x0 + m, mp["ln_scale"], mp["ln_bias"], spec.layer_norm_eps)
 
 
-def _encoder_layer(x, mask_bias, layer_params, spec, dtype, rngs, dropout_rate):
+def _encoder_layer(x, mask_bias, layer_params, spec, dtype, rngs, dropout_rate, attn_remat=False):
     attn_rng, hid_rng1, hid_rng2 = rngs if rngs is not None else (None, None, None)
-    a = _attention(x, mask_bias, layer_params["attn"], spec, dtype, attn_rng, spec.attention_dropout if dropout_rate else 0.0)
+    a = _attention(x, mask_bias, layer_params["attn"], spec, dtype, attn_rng, spec.attention_dropout if dropout_rate else 0.0, attn_remat=attn_remat)
     if hid_rng1 is not None and dropout_rate:
         keep = jax.random.bernoulli(hid_rng1, 1.0 - dropout_rate, a.shape)
         a = jnp.where(keep, a / (1.0 - dropout_rate), 0.0)
@@ -373,16 +403,15 @@ def bert_encode(
     layer_fn = _encoder_layer
     if remat == "attn":
         # selective: save all layer intermediates EXCEPT the O(seq^2)
-        # attention tensors tagged "attn_ss" (scores/probs/dropout mask)
-        # — recomputing those from Q/K costs cheap MXU time and removes
-        # the HBM-bound backward streaming (38% of the train step,
-        # tools/profile_train.py). Unlike full remat (a measured LOSS,
-        # CLAUDE.md), nothing else is recomputed.
-        layer_fn = jax.checkpoint(
-            _encoder_layer,
-            policy=jax.checkpoint_policies.save_any_names_but_these("attn_ss"),
-            static_argnums=(3, 4, 6),
-        )
+        # attention tensors (scores/probs/dropout mask) — the attention
+        # core is structurally checkpointed (_attn_core_remat: q/k/v
+        # saved, (s,s) tensors recomputed from them in backward, cheap
+        # MXU work). Structural, not name-policy-based: with
+        # save_anything_except_these_names, partial eval just saves the
+        # un-named producer of the name eqn and nothing is recomputed
+        # (verified via saved_residuals; see _ss_tag). Unlike full remat
+        # (a measured LOSS, CLAUDE.md), nothing else is recomputed.
+        layer_fn = functools.partial(_encoder_layer, attn_remat=True)
     elif remat:
         layer_fn = jax.checkpoint(_encoder_layer, static_argnums=(3, 4, 6))
 

@@ -164,3 +164,49 @@ def test_remat_modes_grad_identical():
     for mode in ("attn", True):
         for a, b in zip(jax.tree_util.tree_leaves(grads[mode]), ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_attn_saves_everything_but_ss():
+    """remat='attn' must be SELECTIVE, not full remat: the O(s^2)
+    attention tensors are dropped from the saved residuals while the
+    other layer intermediates stay saved (strictly more residuals than
+    full remat, strictly fewer than no-remat, zero (s,s)-shaped).
+    Regression: a name-policy version (save_any_names_but_these /
+    save_anything_except_these_names) silently degenerates to full
+    remat / no remat respectively — only the structural checkpoint of
+    _attn_core gives the documented behavior."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax._src.ad_checkpoint import saved_residuals
+
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.crossencoder import CrossEncoder
+
+    spec = BertSpec.tiny(vocab_size=256, max_position_embeddings=64)
+    pairs = jnp.asarray(
+        np.random.default_rng(0).integers(1, 250, size=(4, 48)).astype(np.int32)
+    )
+    rng = jax.random.PRNGKey(7)
+
+    counts, ss_counts = {}, {}
+    for mode in (False, "attn", True):
+        ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32, remat=mode)
+        params = ce.init(jax.random.PRNGKey(1))
+
+        def loss(p):
+            s = ce.score(p, pairs, first_segment_end=24, train=True, rng=rng)
+            return jnp.sum(s**2)
+
+        res = saved_residuals(loss, params)
+        counts[mode] = len(res)
+        # (s,s) attention tensors: 4-d with BOTH the q and k axes = seq
+        # (the final selective layer's (g=1, s) tensors don't count)
+        ss_counts[mode] = sum(
+            1 for aval, _ in res
+            if len(aval.shape) == 4 and sum(d == 48 for d in aval.shape[1:]) >= 2
+        )
+
+    assert ss_counts[False] > 0  # no-remat stores probs/mask across fwd->bwd
+    assert ss_counts["attn"] == 0  # selective: (s,s) recomputed from q/k/v
+    assert counts[True] < counts["attn"] < counts[False]

@@ -458,6 +458,16 @@ def test_serve_cli_http_mode(tmp_path, mesh8):
         assert call("/query", {})[0] == 400
         assert call("/remove", {"ids": [999]})[0] == 400
         assert call("/nope", {"x": 1})[0] == 404
+        # well-formed JSON of the wrong SHAPE must also 400 (not drop
+        # the socket): top-level array, string query items, non-dict add
+        assert call("/query", [{"mention": "x"}])[0] == 400
+        assert call("/query", {"queries": ["just a string"]})[0] == 400
+        assert call("/add", {"items": ["nope"]})[0] == 400
+
+        # healthz cost_per_query counts the FULL fixed-mode cost:
+        # n_anchors (approx) + top_k_retvr (rerank) CE calls per query
+        code, health = call("/healthz")
+        assert health["cost_per_query"] == retr.cost_per_query + 8
     finally:
         server.shutdown()
         t.join(timeout=30)

@@ -142,7 +142,7 @@ def main(argv=None):
         },
         "results": results,
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fout:
         json.dump(out, fout, indent=1)
     print("wrote", args.out)

@@ -6,7 +6,7 @@ cross-enc 256-tok pairs with 1 pos + num_negs negatives per mention;
 models/pairwise_trainer.py hot loop). Prints one JSON line per config.
 
 Usage:  python -u tools/bench_training.py [bi|cross|both] [--negs N]
-        [--batch B] [--remat]
+        [--batch B] [--remat false|true|attn]
 """
 
 import argparse
@@ -139,10 +139,12 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--bi_negs", type=int, default=8)
     ap.add_argument("--bi_batch", type=int, default=64)
-    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat", default="false", choices=["false", "true", "attn"],
+                help="false | true (full per-layer) | attn (selective: only O(s^2) tensors recomputed)")
     ap.add_argument("--in_batch", action="store_true")
     args = ap.parse_args()
+    remat = {"false": False, "true": True, "attn": "attn"}[args.remat]
     if args.which in ("cross", "both"):
-        bench_cross(args.batch, args.negs, args.remat)
+        bench_cross(args.batch, args.negs, remat)
     if args.which in ("bi", "both"):
-        bench_bi(args.bi_batch, args.bi_negs, args.remat, in_batch=args.in_batch)
+        bench_bi(args.bi_batch, args.bi_negs, remat, in_batch=args.in_batch)

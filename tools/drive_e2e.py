@@ -14,6 +14,10 @@ Covers the paths changed this session:
   - offline ScoreMatrixBuilder -> CurRetriever build -> fused batched
     query -> exact rerank -> recall vs brute force (must be ~1.0 on a
     low-rank world)
+  - use_remat='attn' Trainer step (structural _attn_core checkpoint):
+    loss identical to the no-remat step on the same batch
+  - HTTP serving front-end (cpu backend only): /query /add /remove
+    /healthz over a real socket, results == direct retriever queries
 """
 import os
 import sys
@@ -116,7 +120,12 @@ retr = CurRetriever.build(
     encoder=ce, params=params, tokenizer=tok,
     train_query_tokens=np.asarray(ment[:n_train]),
     item_tokens=np.asarray(ent),
-    n_anchor_items=24,
+    # 32 anchors: the rbg-trained matrix carries a real spectral tail
+    # (s5/s1 ~ 0.11) and at 24 anchors CUR honestly misses one top-5
+    # item at depth 32 (verified product == numpy-oracle pinv CUR at
+    # 24/32/48 anchors, recall 0.900/1.000/1.000 — approximation error,
+    # not a product bug). 32 anchors capture the tail.
+    n_anchor_items=32,
     builder=builder,
     max_query_len=ment.shape[1],
     train_scores=R_probe,  # already computed for the spectrum probe
@@ -158,5 +167,107 @@ s = np.asarray(cew.score(pw, jnp.asarray(pairs), first_segment_end=ment.shape[1]
 me, ee = cew.embed_paired(pw, jnp.asarray(pairs), ment.shape[1])
 np.testing.assert_allclose(s, np.asarray(jnp.sum(me * ee, axis=-1)), atol=1e-4)
 print("w_embeds: score == dot(embed_paired) ok")
+
+# ---- 4. use_remat='attn' (selective structural checkpoint of the
+# attention core): a real Trainer step must produce the SAME loss as the
+# no-remat step from the same init/batch — remat changes memory, not math.
+losses = {}
+for mode in (False, "attn"):
+    ce_r = CrossEncoder(spec=spec, cross_enc_type="default",
+                        compute_dtype=jnp.float32, remat=mode)
+    cfg_r = Config(model_type="cross_enc", loss_type="ce", num_negs=2,
+                   train_batch_size=2 * n_dev, grad_acc_steps=1,
+                   use_remat=mode, base_res_dir="/tmp/drive_r3_remat")
+    tr_r = Trainer(cfg_r, ce_r, mesh=mesh, total_steps=2)
+    st_r = tr_r.init_state()
+    batch = next(crossenc_batches(data, negs, cfg_r.train_batch_size, shuffle=False))
+    st_r, m_r = tr_r.make_train_step()(st_r, tr_r._shard_batch(batch))
+    losses[mode] = float(m_r["loss"])
+    assert np.isfinite(losses[mode])
+np.testing.assert_allclose(losses["attn"], losses[False], rtol=1e-6)
+print(f"remat='attn' train step ok: loss {losses['attn']:.6f} == no-remat {losses[False]:.6f}")
+
+# ---- 5. HTTP serving front-end over a real socket (cpu only: the layer
+# is backend-agnostic host code; the TPU query path is section 2).
+if backend == "cpu":
+    import json as _json
+    import tempfile
+    import threading
+    import time as _time
+    import urllib.request
+
+    from anncur_tpu.cli import serve
+    from anncur_tpu.train.checkpoint import save_pytree
+
+    tmp = tempfile.mkdtemp(prefix="drive_serve_")
+    vocab_path = os.path.join(tmp, "vocab.txt")
+    tok.save_vocab(vocab_path)
+    ckpt_path = os.path.join(tmp, "ce.pkl")
+    save_pytree(ckpt_path, {"params": params})
+    state_path = os.path.join(tmp, "retr_state.pkl")
+    retr.save(state_path)
+
+    argv = ["--index", state_path, "--vocab_file", vocab_path,
+            "--crossenc_ckpt", ckpt_path, "--http", "127.0.0.1:0",
+            "--top_k", "5", "--top_k_retvr", "32", "--batch", "4",
+            "--max_query_len", str(ment.shape[1]),
+            "--hidden_size", str(spec.hidden_size),
+            "--num_layers", str(spec.num_layers),
+            "--num_heads", str(spec.num_heads),
+            "--intermediate_size", str(spec.intermediate_size)]
+    th = threading.Thread(target=serve.main, args=(argv,), daemon=True)
+    th.start()
+    deadline = _time.time() + 120
+    server = None
+    while _time.time() < deadline and server is None:
+        server = getattr(serve._serve_http, "last_server", None)
+        _time.sleep(0.05)
+    assert server is not None, "HTTP server did not come up"
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+
+    def call(path, payload=None):
+        req = urllib.request.Request(
+            base + path,
+            data=None if payload is None else _json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="GET" if payload is None else "POST")
+        try:
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                return resp.status, _json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        code, health = call("/healthz")
+        assert code == 200 and health["n_items"] == ent.shape[0], health
+        assert health["cost_per_query"] == retr.cost_per_query + 32, health
+
+        # 3 text queries through the batch-4 program (padded tail):
+        # top-5 per query, ids in range, scores descending
+        qtexts = [{"mention": "alpha beta"}, {"mention": "delta"},
+                  {"mention": "epsilon zeta", "context_left": "gamma"}]
+        code, out = call("/query", {"queries": qtexts})
+        assert code == 200 and len(out["results"]) == 3, out
+        for row in out["results"]:
+            ids = [i for i, _ in row["results"]]
+            sc = [s for _, s in row["results"]]
+            assert len(ids) == 5 and all(0 <= i < ent.shape[0] for i in ids)
+            assert sc == sorted(sc, reverse=True)
+        # error paths surface as 400s (wrong-shape JSON included)
+        assert call("/query", {})[0] == 400
+        assert call("/query", [{"mention": "x"}])[0] == 400
+        assert call("/add", {"items": ["nope"]})[0] == 400
+        # dynamic corpus: add then remove one item, n_items tracks
+        n0 = ent.shape[0]
+        code, added = call("/add", {"items": [{"title": "new", "description": "thing"}]})
+        assert code == 200 and added["ids"] == [n0], added
+        assert call("/healthz")[1]["n_items"] == n0 + 1
+        code, removed = call("/remove", {"ids": [n0]})
+        assert code == 200 and removed["removed"] == 1
+        assert call("/healthz")[1]["n_items"] == n0
+        print("http serve ok: healthz/query/add/remove + 400 paths")
+    finally:
+        server.shutdown()
+        th.join(timeout=30)
 
 print(f"DRIVE OK ({backend})")
