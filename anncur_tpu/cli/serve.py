@@ -257,19 +257,24 @@ def _serve_http(args, retriever, ce, tokenize, answer):
         def do_GET(self):
             if self.path != "/healthz":
                 return self._send(404, {"error": "unknown path"})
+            n_items = int(retriever.item_tokens.shape[0])
             self._send(
                 200,
                 {
                     "status": "ok",
-                    "n_items": int(retriever.item_tokens.shape[0]),
+                    "n_items": n_items,
                     "mode": args.mode,
                     # total CE calls per query, comparable across modes:
                     # adaptive spends its whole budget; fixed spends
-                    # n_anchors (approx scores) + top_k_retvr (rerank)
+                    # n_anchors (approx scores) + top_k_retvr (rerank).
+                    # Mirror the engine's clamps (budget and top_k_retvr
+                    # are both capped at the live corpus size) so the
+                    # number capacity planners see is what is spent.
                     "cost_per_query": int(
-                        args.budget
+                        min(args.budget, n_items)
                         if args.mode == "adaptive"
-                        else retriever.cost_per_query + args.top_k_retvr
+                        else retriever.cost_per_query
+                        + min(args.top_k_retvr, n_items)
                     ),
                     "batch": args.batch,
                 },
@@ -277,6 +282,13 @@ def _serve_http(args, retriever, ce, tokenize, answer):
 
         def do_POST(self):
             try:
+                if "chunked" in self.headers.get("Transfer-Encoding", "").lower():
+                    # stdlib handlers don't decode chunked bodies; a
+                    # Content-Length-only read would see b"" and emit a
+                    # misleading "no queries" 400
+                    return self._send(
+                        411, {"error": "chunked Transfer-Encoding unsupported; send Content-Length"}
+                    )
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
@@ -297,10 +309,12 @@ def _serve_http(args, retriever, ce, tokenize, answer):
                         )
                     ]
                     rows = []
-                    with lock:
-                        # answer in --batch slices so arbitrary request
-                        # sizes reuse the steady compiled program
-                        for chunk, toks in chunks:
+                    # answer in --batch slices so arbitrary request
+                    # sizes reuse the steady compiled program; take the
+                    # dispatch lock PER slice so one huge request can't
+                    # starve concurrent small ones for its whole run
+                    for chunk, toks in chunks:
+                        with lock:
                             rows.extend(answer(chunk, toks, args.batch))
                     return self._send(200, {"results": rows})
                 if self.path == "/add":
@@ -327,17 +341,36 @@ def _serve_http(args, retriever, ce, tokenize, answer):
                     if not ids:
                         return self._send(400, {"error": "no ids"})
                     with lock:
-                        retriever.remove_items(np.asarray(ids, np.int64))
-                    return self._send(200, {"removed": len(ids)})
+                        n_removed = retriever.remove_items(np.asarray(ids, np.int64))
+                    # duplicates collapse inside remove_items; report
+                    # what actually happened, not the request length
+                    return self._send(200, {"removed": n_removed})
                 return self._send(404, {"error": "unknown path"})
             except (ValueError, KeyError, TypeError, AttributeError) as e:
                 # TypeError/AttributeError cover well-formed JSON of the
                 # wrong shape (top-level array, string query items, ...):
                 # the client must get a 400, not a dropped connection
                 return self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — server fault, not client
+                # device OOM / XLA runtime errors must surface as a 500
+                # with a server-side traceback, not a dropped socket
+                LOGGER.exception("internal error serving %s", self.path)
+                return self._send(500, {"error": f"internal error: {e}"})
 
+    # mark any previous in-process server stale BEFORE binding: if this
+    # bind fails, pollers must see "no server" (and time out with a clear
+    # message), not grab an earlier shut-down instance
+    _serve_http.last_server = None
     host, _, port = args.http.rpartition(":")
-    server = ThreadingHTTPServer((host or "127.0.0.1", int(port)), Handler)
+    host = host.strip("[]")  # accept bracketed IPv6 literals ([::1]:8080)
+    server_cls = ThreadingHTTPServer
+    if ":" in host:  # IPv6 literal needs an AF_INET6 socket
+        import socket
+
+        server_cls = type(
+            "ThreadingHTTPServerV6", (ThreadingHTTPServer,), {"address_family": socket.AF_INET6}
+        )
+    server = server_cls((host or "127.0.0.1", int(port)), Handler)
     LOGGER.info("HTTP serving on %s:%d (mode=%s)", *server.server_address[:2], args.mode)
     # test/embedding hook: callers running main() in a thread can reach
     # the live server (actual port with ':0', shutdown()) through here

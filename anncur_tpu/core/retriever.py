@@ -242,18 +242,23 @@ class CurRetriever:
         self._invalidate()
         return new_ids
 
-    def remove_items(self, ids: np.ndarray) -> None:
+    def remove_items(self, ids: np.ndarray) -> int:
         """Remove items by stable external id. Anchor items cannot be
         removed (their tokens feed the online anchor-scoring stage and
         their columns define U) — rebuild with fresh anchors instead.
         Queries never return removed ids afterwards; remaining items
-        keep their external ids."""
+        keep their external ids. Duplicate ids are collapsed (the
+        anchor-position shift below counts each removed SLOT once; a
+        duplicated position would double-shift every anchor past it).
+        Returns the number of items actually removed."""
         ids = np.asarray(ids)
         pos_of = {int(e): p for p, e in enumerate(self.item_ids)}
         missing = [int(i) for i in ids if int(i) not in pos_of]
         if missing:
             raise KeyError(f"unknown item ids: {missing[:5]}")
-        positions = np.asarray(sorted(pos_of[int(i)] for i in ids))
+        positions = np.unique(
+            np.asarray([pos_of[int(i)] for i in ids], dtype=np.int64)
+        )
         anchor_set = set(int(a) for a in np.asarray(self.anchor_item_ids))
         hit = [int(p) for p in positions if int(p) in anchor_set]
         if hit:
@@ -274,6 +279,7 @@ class CurRetriever:
             col_idxs=jnp.asarray(self.anchor_item_ids, jnp.int32),
         )
         self._invalidate()
+        return int(positions.size)
 
     # ---------------- persistence -------------------------------------- #
 

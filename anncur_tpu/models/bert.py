@@ -224,15 +224,17 @@ def _attention(
     nh, hd = spec.num_heads, spec.head_dim
     spelling = _ATTN_SPELLING
 
-    def drop(probs):
-        if dropout_rng is not None and dropout_rate > 0.0:
-            keep = _ss_tag(
-                jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-            )
-            probs = _ss_tag(jnp.where(keep, probs / (1.0 - dropout_rate), 0.0))
-        return probs
-
     if spelling == "bnsd_proj":
+        def drop(probs):
+            # probe-only branch; the default spellings run dropout inside
+            # _attn_core (single source of truth for the mask semantics)
+            if dropout_rng is not None and dropout_rate > 0.0:
+                keep = _ss_tag(
+                    jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+                )
+                probs = _ss_tag(jnp.where(keep, probs / (1.0 - dropout_rate), 0.0))
+            return probs
+
         def proj(kern, bias):
             w = kern.astype(dtype).reshape(h, nh, hd)
             y = jnp.einsum("bsh,hnd->bnsd", x.astype(dtype), w)

@@ -393,7 +393,7 @@ def test_serve_cli_http_mode(tmp_path, mesh8):
     retr.save(state)
 
     argv = ["--index", state, "--vocab_file", vocab, "--crossenc_ckpt", ckpt,
-            "--http", "127.0.0.1:0", "--top_k", "3", "--top_k_retvr", "8",
+            "--http", "127.0.0.1:0", "--top_k", "3", "--top_k_retvr", "50",
             "--batch", "2", "--max_query_len", "16",
             "--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
             "--intermediate_size", "64"]
@@ -449,10 +449,18 @@ def test_serve_cli_http_mode(tmp_path, mesh8):
         code, out2 = call("/query", {"mention": "alpha beta"})
         assert code == 200  # queries recompile against the grown corpus
 
-        code, removed = call("/remove", {"ids": [20]})
+        # duplicate ids collapse to one removal (a double-counted slot
+        # used to double-shift every anchor position past it, silently
+        # corrupting col_idxs for all later queries)
+        code, removed = call("/remove", {"ids": [20, 20]})
         assert code == 200 and removed["removed"] == 1
         code, health = call("/healthz")
         assert health["n_items"] == 20
+        # corpus is back to the build state; anchors must be intact, so
+        # the same query returns byte-identical results
+        code, out3 = call("/query", {"mention": "alpha beta", "context_left": "gamma"})
+        assert code == 200
+        assert out3["results"][0]["results"] == out["results"][0]["results"]
 
         # error paths surface as 400s, not hung connections
         assert call("/query", {})[0] == 400
@@ -465,9 +473,11 @@ def test_serve_cli_http_mode(tmp_path, mesh8):
         assert call("/add", {"items": ["nope"]})[0] == 400
 
         # healthz cost_per_query counts the FULL fixed-mode cost:
-        # n_anchors (approx) + top_k_retvr (rerank) CE calls per query
+        # n_anchors (approx) + top_k_retvr (rerank) CE calls per query —
+        # with top_k_retvr mirroring the engine's corpus-size clamp
+        # (--top_k_retvr 50 on a 20-item corpus actually spends 20)
         code, health = call("/healthz")
-        assert health["cost_per_query"] == retr.cost_per_query + 8
+        assert health["cost_per_query"] == retr.cost_per_query + 20
     finally:
         server.shutdown()
         t.join(timeout=30)

@@ -205,6 +205,18 @@ def test_remove_items_preserves_ids_and_excludes_removed(mesh8):
     with pytest.raises(KeyError):
         retr.remove_items([removed[0]])  # already gone
 
+    # duplicate ids collapse to ONE removed slot: the searchsorted-based
+    # anchor shift counts positions, so a duplicated position used to
+    # subtract 2 from every anchor past it (anchors then pointed at the
+    # wrong items with no error)
+    dup = non_anchor[6]
+    n_removed = retr.remove_items([dup, dup, dup])
+    assert n_removed == 1
+    assert retr.item_tokens.shape[0] == 33
+    np.testing.assert_array_equal(
+        retr.item_tokens[retr.anchor_item_ids], anchor_toks_before
+    )
+
 
 def test_save_load_roundtrip_preserves_dynamic_state(tmp_path, mesh8):
     """A restarted process must serve identical results AND still be

@@ -103,6 +103,11 @@ def main(argv=None):
     print(json.dumps({"warm_op_s": round(time.time() - t0, 1)}), flush=True)
 
     retriever, train_scores, spec, rng = build_retriever()
+    # device-resident ONCE: retriever.query_tokens_adaptive_fused does
+    # jnp.asarray(train_scores) per call, so passing host numpy would
+    # re-upload the (500, 10k) f32 matrix (~19 MB) through the tunnel on
+    # every timed rep — production serving uses the device-cached matrix
+    train_scores = jnp.asarray(train_scores, jnp.float32)
     results = {}
     for mode in ("fixed", "adaptive"):
         for b in args.fixed_batches if mode == "fixed" else args.ada_batches:

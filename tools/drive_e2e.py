@@ -262,10 +262,16 @@ if backend == "cpu":
         code, added = call("/add", {"items": [{"title": "new", "description": "thing"}]})
         assert code == 200 and added["ids"] == [n0], added
         assert call("/healthz")[1]["n_items"] == n0 + 1
-        code, removed = call("/remove", {"ids": [n0]})
-        assert code == 200 and removed["removed"] == 1
+        # duplicate ids collapse to one removal (dup positions used to
+        # double-shift anchor positions → silently corrupted col_idxs)
+        code, removed = call("/remove", {"ids": [n0, n0]})
+        assert code == 200 and removed["removed"] == 1, removed
         assert call("/healthz")[1]["n_items"] == n0
-        print("http serve ok: healthz/query/add/remove + 400 paths")
+        # corpus restored to the build state ⇒ anchors intact ⇒ the same
+        # queries return identical results through the recompiled program
+        code, out2 = call("/query", {"queries": qtexts})
+        assert code == 200 and out2["results"] == out["results"], "post-remove drift"
+        print("http serve ok: healthz/query/add/remove(dup) + 400 paths")
     finally:
         server.shutdown()
         th.join(timeout=30)
