@@ -29,6 +29,7 @@ queries/s at the 600-CE-call budget.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -37,7 +38,47 @@ import numpy as np
 REFERENCE_GPU_PAIRS_PER_SEC = 400.0
 
 
+def wait_for_backend():
+    """Ride through temporary axon-tunnel outages (observed multi-hour
+    UNAVAILABLE windows) instead of failing the round's bench record.
+
+    Probes in a SUBPROCESS: a failed in-process backend init is cached
+    by jax and never retried, and the first program after a worker
+    crash can legitimately block 9-21 min on recovery — so each probe
+    gets a long leash. Bounded by BENCH_WAIT_S (default 1 h, 0 to
+    disable); on expiry we proceed and let the real failure surface."""
+    budget_s = float(os.environ.get("BENCH_WAIT_S", "3600"))
+    if budget_s <= 0:
+        return
+    deadline = time.time() + budget_s
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "print(float(jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128)))))"
+    )
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, timeout=2400
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"# backend recovered after {attempt} probes", file=sys.stderr)
+                return
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            err = err[-1] if err else "?"
+        except subprocess.TimeoutExpired:
+            err = "probe timeout (2400s)"
+        if time.time() > deadline:
+            print(f"# backend still unavailable after {budget_s:.0f}s: {err}", file=sys.stderr)
+            return
+        print(f"# backend probe {attempt} failed ({err}); retrying", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    wait_for_backend()
     import jax
     import jax.numpy as jnp
 

@@ -276,4 +276,31 @@ if backend == "cpu":
         server.shutdown()
         th.join(timeout=30)
 
+# bench.py pre-flight: the backend-availability gate must no-op when
+# disabled and return after ONE probe when the backend answers (the
+# driver's round-end bench rides through tunnel outages on this)
+import subprocess as _sp
+
+import bench as _bench
+
+os.environ["BENCH_WAIT_S"] = "0"
+_bench.wait_for_backend()  # disabled -> returns without probing
+os.environ["BENCH_WAIT_S"] = "60"
+_real_run, _n = _sp.run, [0]
+
+
+def _fake_run(cmd, **kw):
+    _n[0] += 1
+    return type("R", (), {"returncode": 0, "stderr": b""})()
+
+
+_sp.run = _fake_run
+try:
+    _bench.wait_for_backend()
+finally:
+    _sp.run = _real_run
+assert _n[0] == 1, f"expected exactly one probe, got {_n[0]}"
+os.environ.pop("BENCH_WAIT_S")
+print("bench backend-gate ok: disabled no-op, single-probe success")
+
 print(f"DRIVE OK ({backend})")
