@@ -36,7 +36,7 @@ LOGGER = logging.getLogger(__name__)
 
 
 def adaptive_cur_query(
-    train_scores: np.ndarray,  # (n_train, n_items) exact CE scores
+    train_scores: Optional[np.ndarray],  # (n_train, n_items) exact CE scores
     score_items_fn: Callable[[np.ndarray], np.ndarray],
     # score_items_fn(item_ids (k,)) -> (q, k) exact CE scores of the
     # query batch against those items
@@ -46,6 +46,7 @@ def adaptive_cur_query(
     top_k: int = 10,
     seed: int = 0,
     q: Optional[int] = None,
+    complete_fn: Optional[Callable[[np.ndarray, np.ndarray], np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (topk_scores (q, top_k), topk_ids (q, top_k),
     scored_ids (q, budget)) for a batch of queries.
@@ -53,6 +54,14 @@ def adaptive_cur_query(
     Queries are implicit in ``score_items_fn`` (closure over their
     tokens); all queries in the batch share round boundaries but pick
     their own per-query candidates after round 0.
+
+    ``complete_fn(ids (k,), vals (q, k)) -> (q, n_items)`` swaps the
+    score-completion model while keeping the round loop (budget split,
+    shared-round-1 fast path, union scoring, exhaustion handling) in ONE
+    place: default is CUR completion through the train latent space
+    (pinv of the scored columns); core/axn.py passes ridge regression in
+    a learned embedding space. ``train_scores`` may be None when
+    ``complete_fn`` is given.
     """
     rng = np.random.default_rng(seed)
     if total_budget < n_rounds:
@@ -64,9 +73,20 @@ def adaptive_cur_query(
     per_round = max(1, total_budget // n_rounds)
     first_round = total_budget - per_round * (n_rounds - 1)
 
-    train = np.asarray(train_scores, np.float32)
     total_budget = min(total_budget, n_items)
     first_round = min(first_round, n_items)
+    if complete_fn is None:
+        if train_scores is None:
+            raise ValueError("train_scores is required without a complete_fn")
+        train = np.asarray(train_scores, np.float32)
+        train64 = train.astype(np.float64)
+
+        def complete_fn(ids, vals):
+            # completion through the train latent space, anchored at the
+            # scored set: approx = vals @ pinv(M[:, ids]) @ M
+            u = pinv_f64(train[:, ids])  # (|S|, n_train)
+            latent_cols = (u @ train64).astype(np.float32)
+            return np.asarray(vals, np.float32) @ latent_cols
 
     # round 0: shared random anchors (no information about the query yet)
     anchors0 = np.asarray(sorted(rng.choice(n_items, size=first_round, replace=False)))
@@ -79,20 +99,17 @@ def adaptive_cur_query(
     scored_ids = [list(anchors0) for _ in range(n_q)]
     scored_vals = [list(scores0[i]) for i in range(n_q)]
 
-    train64 = train.astype(np.float64)
     for _ in range(n_rounds - 1):
         # which ids each query wants next (top approx, unscored).
         # NB round 1 is special: every query still shares the SAME scored
-        # set (anchors0), so one pinv + one batched matmul serves all of
-        # them — per-query recomputation was ~n_q identical f64 GEMMs.
+        # set (anchors0), so one completion + one batched matmul serves
+        # all of them — per-query recomputation was ~n_q identical GEMMs.
         next_ids: list = [None] * n_q
         all_same = all(scored_ids[i] == scored_ids[0] for i in range(1, n_q))
         if all_same:
             ids = np.asarray(scored_ids[0])
-            u = pinv_f64(train[:, ids])  # (|S|, n_train)
-            latent_cols = (u @ train64).astype(np.float32)
             vals = np.asarray(scored_vals, np.float32)  # (q, |S|)
-            approx = vals @ latent_cols  # (q, n_items)
+            approx = np.asarray(complete_fn(ids, vals))  # (q, n_items)
             seen = set(ids.tolist())
             for i in range(n_q):
                 order = np.argsort(-approx[i])
@@ -101,11 +118,8 @@ def adaptive_cur_query(
             for i in range(n_q):
                 ids = np.asarray(scored_ids[i])
                 vals = np.asarray(scored_vals[i], np.float32)[None, :]
-                # completion through the train latent space, anchored at
-                # the query's OWN scored set
-                u = pinv_f64(train[:, ids])  # (|S|, n_train)
-                latent_cols = (u @ train64).astype(np.float32)
-                approx = vals @ latent_cols  # (1, n_items)
+                # completion anchored at the query's OWN scored set
+                approx = np.asarray(complete_fn(ids, vals))  # (1, n_items)
                 order = np.argsort(-approx[0])
                 seen = set(ids.tolist())
                 next_ids[i] = [j for j in order if j not in seen][:per_round]
@@ -126,9 +140,12 @@ def adaptive_cur_query(
                 scored_vals[i].append(float(uni_scores[i, pos[int(j)]]))
 
     # final ranking: exact where scored, -inf elsewhere (retrieved set
-    # only — same semantics as retrieve-then-rerank)
+    # only — same semantics as retrieve-then-rerank). Unfilled slots
+    # (scored < top_k, e.g. budget < top_k) are id -1 / score -inf: a 0
+    # fill would report item 0 as a genuine-looking hit and inflate
+    # recall whenever item 0 is in the exact top-k
     out_scores = np.full((n_q, top_k), -np.inf, np.float32)
-    out_ids = np.zeros((n_q, top_k), np.int64)
+    out_ids = np.full((n_q, top_k), -1, np.int64)
     for i in range(n_q):
         ids = np.asarray(scored_ids[i])
         vals = np.asarray(scored_vals[i], np.float32)
@@ -156,7 +173,6 @@ def adaptive_recall_vs_fixed(
     """Eval helper: recall@k of adaptive vs fixed-anchor CUR at the SAME
     CE-call budget, using a precomputed query score matrix as the oracle
     (no encoder needed)."""
-    from anncur_tpu.core.cur import build_cur
     from anncur_tpu.core.metrics import topk_overlap_frac
 
     full = np.asarray(full_scores, np.float32)
@@ -174,26 +190,14 @@ def adaptive_recall_vs_fixed(
     )
 
     # fixed: anchors + rerank with the same total budget, split like the
-    # reference cost model (n_anchors + top_k_retvr = budget)
+    # reference cost model (n_anchors + top_k_retvr = budget). ONE
+    # implementation of the fixed baseline (adaptive_fused) serves both
+    # eval paths — two copies had already started to drift on clamps.
+    from anncur_tpu.core.adaptive_fused import fixed_anchor_recall
+
     n_anchors = total_budget // 2
     retvr = total_budget - n_anchors
-    rng = np.random.default_rng(seed)
-    anchors = np.asarray(sorted(rng.choice(n_items, size=n_anchors, replace=False)))
-    train = np.asarray(train_scores, np.float32)
-    index = build_cur(
-        rows=train, cols=train[:, anchors],
-        row_idxs=np.arange(train.shape[0]), col_idxs=anchors,
-        approx_preference="rows", validate=False,
-    )
-    approx = np.asarray(index.get_complete_row(jnp.asarray(full[:, anchors])))
-    cand = np.argsort(-approx, axis=1)[:, :retvr]
-    reranked = []
-    for i in range(n_q):
-        vals = full[i, cand[i]]
-        reranked.append(cand[i][np.argsort(-vals)[:top_k]])
-    fixed_recall = float(
-        np.asarray(
-            topk_overlap_frac(jnp.asarray(np.stack(reranked)), jnp.asarray(exact_top))
-        ).mean()
+    fixed_recall = fixed_anchor_recall(
+        full, train_scores, n_anchors, retvr, top_k, seed=seed
     )
     return ada_recall, fixed_recall

@@ -119,57 +119,32 @@ def axn_query(
     lam: float = 1e-3,
     seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Adaptive AXN retrieval: like core/adaptive.py but completing
-    through the learned embedding space (solve instead of pinv-per-query,
-    so rounds cost O(k r^2) not O(n_train^2))."""
-    rng = np.random.default_rng(seed)
-    if total_budget < n_rounds:
-        n_rounds = max(1, total_budget)
-    per_round = max(1, total_budget // n_rounds)
-    first = min(total_budget - per_round * (n_rounds - 1), n_items)
+    """Adaptive AXN retrieval: the core/adaptive.py round loop (budget
+    split, shared-round-1 fast path, union scoring, exhaustion handling)
+    with completion through the learned embedding space — a batched
+    ridge solve instead of a pinv through the train matrix, so rounds
+    cost O(k r^2) not O(n_train^2). One loop implementation serves both
+    methods (the two copies had drifted on edge-case fixes)."""
+    from anncur_tpu.core.adaptive import adaptive_cur_query
 
-    ids0 = np.asarray(sorted(rng.choice(n_items, size=first, replace=False)))
-    vals0 = np.asarray(score_items_fn(ids0))
-    n_q = vals0.shape[0]
-    scored_ids = [list(ids0) for _ in range(n_q)]
-    scored_vals = [list(vals0[i]) for i in range(n_q)]
+    def complete(ids, vals):
+        return np.asarray(
+            axn_complete(
+                index,
+                jnp.asarray(np.asarray(ids)),
+                jnp.asarray(np.asarray(vals, np.float32)),
+                lam,
+            )
+        )
 
-    for rnd in range(n_rounds - 1):
-        next_ids: list = [None] * n_q
-        if rnd == 0:
-            # round 1: every query shares the SAME scored set — one
-            # batched ridge completion serves all of them
-            ids = jnp.asarray(ids0)
-            vals = jnp.asarray(np.asarray(scored_vals, np.float32))  # (q, |S|)
-            approx = np.asarray(axn_complete(index, ids, vals, lam))
-            seen = set(ids0.tolist())
-            for i in range(n_q):
-                order = np.argsort(-approx[i])
-                next_ids[i] = [j for j in order if j not in seen][:per_round]
-        else:
-            for i in range(n_q):
-                ids = jnp.asarray(np.asarray(scored_ids[i]))
-                vals = jnp.asarray(np.asarray(scored_vals[i], np.float32)[None, :])
-                approx = np.asarray(axn_complete(index, ids, vals, lam))[0]
-                order = np.argsort(-approx)
-                seen = set(scored_ids[i])
-                next_ids[i] = [j for j in order if j not in seen][:per_round]
-        if not any(next_ids):
-            break  # corpus exhausted
-        unique = np.unique(np.concatenate([np.asarray(p, np.int64) for p in next_ids if p]))
-        uni_scores = np.asarray(score_items_fn(unique))
-        pos = {int(j): c for c, j in enumerate(unique)}
-        for i in range(n_q):
-            for j in next_ids[i]:
-                scored_ids[i].append(int(j))
-                scored_vals[i].append(float(uni_scores[i, pos[int(j)]]))
-
-    out_scores = np.full((n_q, top_k), -np.inf, np.float32)
-    out_ids = np.zeros((n_q, top_k), np.int64)
-    for i in range(n_q):
-        ids = np.asarray(scored_ids[i])
-        vals = np.asarray(scored_vals[i], np.float32)
-        order = np.argsort(-vals)[:top_k]
-        out_ids[i, : len(order)] = ids[order]
-        out_scores[i, : len(order)] = vals[order]
+    out_scores, out_ids, _ = adaptive_cur_query(
+        None,
+        score_items_fn,
+        n_items=n_items,
+        total_budget=total_budget,
+        n_rounds=n_rounds,
+        top_k=top_k,
+        seed=seed,
+        complete_fn=complete,
+    )
     return out_scores, out_ids

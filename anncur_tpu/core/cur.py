@@ -172,8 +172,15 @@ def build_cur(
     if cols.shape[1] != col_idxs.shape[0]:
         raise ValueError(f"cols {cols.shape} vs col_idxs {col_idxs.shape}")
 
-    if validate:
-        # anchor intersection consistency (reference assertion at :44)
+    tracing = any(
+        isinstance(x, jax.core.Tracer)
+        for x in (rows, cols, row_idxs, col_idxs, full_matrix)
+    )
+    if validate and not tracing:
+        # anchor intersection consistency (reference assertion at :44).
+        # Auto-skipped under jit: the bool() on a tracer would raise
+        # TracerBoolConversionError, breaking the module's advertised
+        # jit-compatibility for the default arguments.
         inter_from_cols = cols[row_idxs, :]
         inter_from_rows = rows[:, col_idxs]
         if not bool(jnp.allclose(inter_from_cols, inter_from_rows, atol=1e-4)):
@@ -182,14 +189,13 @@ def build_cur(
             )
 
     if pinv_impl == "auto":
-        tracing = any(
-            isinstance(x, jax.core.Tracer) for x in (rows, cols, full_matrix)
-        )
         pinv_impl = "f32" if tracing else "f64_host"
     if isinstance(rcond, str):
         if rcond not in ("noise", "auto"):
             raise ValueError(f"rcond={rcond!r} not in (None, float, 'noise', 'auto')")
-        if isinstance(cols, jax.core.Tracer):
+        if tracing:
+            # every matrix _pinv may see (cols, rows in the oracle
+            # branch, full_matrix) must be concrete for the host SVD
             raise ValueError(f"rcond={rcond!r} needs concrete inputs (host SVD)")
         from anncur_tpu.ops.pinv import auto_rcond, noise_rcond
 

@@ -37,6 +37,15 @@ from anncur_tpu.models.tokenizer import WordPieceTokenizer
 LOGGER = logging.getLogger(__name__)
 
 
+def _largest_divisor_leq(n: int, target: int) -> int:
+    """Largest divisor of ``n`` that is <= target (>= 1): the chunk size
+    that tiles ``n`` evenly while staying within a pair budget."""
+    for d in range(min(max(target, 1), n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
 def _make_pair_scorer(ce: CrossEncoder, lm: int, le: int, pair_pad_multiple: int):
     """(c, width, Le) candidate tokens + (c, Lm) query block -> (c, width)
     CE scores, used by every fused serving program.
@@ -107,6 +116,16 @@ class CurRetriever:
     # jitted fused query programs keyed by static shapes + device-resident
     # constants (item tokens, anchor ids, latent factors): populated lazily
     def __post_init__(self):
+        if self.index.approx_preference != "rows":
+            # the fused query program computes anchor_scores @ latent_cols,
+            # which is U@R only under 'rows'; a 'cols' index would score
+            # with R alone — plausible-looking but WRONG rankings (the
+            # guard CurIndex.get_complete_row enforces, kept here too)
+            raise ValueError(
+                "CurRetriever serves indexes built with approx_preference="
+                f"'rows'; got {self.index.approx_preference!r} — rebuild "
+                "with rows-preference (the online-query factorization)"
+            )
         self._fused_cache: Dict[tuple, object] = {}
         self._dev_consts = None
         self._train_mat = None
@@ -350,7 +369,7 @@ class CurRetriever:
             col_idxs=jnp.asarray(d["col_idxs"]),
             approx_preference=d["approx_preference"],
         )
-        return cls(
+        _r = cls(
             encoder=encoder,
             params=params,
             tokenizer=tokenizer,
@@ -364,6 +383,16 @@ class CurRetriever:
             next_item_id=d.get("next_item_id"),
             **kw,
         )
+        if "next_item_id" not in d:
+            # legacy state without the allocator: __post_init__ falls back
+            # to max(item_ids)+1, which resurrects the max id if that item
+            # had been removed before saving — surface it, don't be silent
+            LOGGER.warning(
+                "state dict has no next_item_id; id allocator re-derived as "
+                "max(item_ids)+1 — if the max-id item was removed before "
+                "saving, the next add_items will REUSE its external id"
+            )
+        return _r
 
     # ---------------- online query ------------------------------------ #
 
@@ -424,7 +453,7 @@ class CurRetriever:
         # q_pad within the pair-budget (keeps its CE batches MXU-sized
         # instead of inheriting the anchor stage's narrow chunking)
         r_target = max(1, self._stage_batch(top_k_retvr))
-        r_chunk = max(d for d in range(1, min(r_target, q_pad) + 1) if q_pad % d == 0)
+        r_chunk = _largest_divisor_leq(q_pad, r_target)
         n_r_chunks = q_pad // r_chunk
 
         score_pairs = _make_pair_scorer(ce, lm, le, self.pair_pad_multiple)
@@ -593,7 +622,10 @@ class CurRetriever:
             top_k=top_k,
             seed=seed,
         )
-        return scores, self.item_ids[np.asarray(ids)]
+        # unfilled slots come back as -1 (score -inf); keep them -1 in
+        # external-id space instead of wrapping to item_ids[-1]
+        ids = np.asarray(ids)
+        return scores, np.where(ids >= 0, self.item_ids[np.clip(ids, 0, None)], -1)
 
     # ------------- fused adaptive query (first-class serving mode) ----- #
 
@@ -637,9 +669,7 @@ class CurRetriever:
             def score_fn(ids):
                 width = ids.shape[1]
                 target = max(1, self._stage_batch(width))
-                chunk = max(
-                    d for d in range(1, min(target, q_pad) + 1) if q_pad % d == 0
-                )
+                chunk = _largest_divisor_leq(q_pad, target)
                 nc = q_pad // chunk
 
                 def body(_, inp):

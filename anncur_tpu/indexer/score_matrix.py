@@ -88,9 +88,56 @@ class ChunkDirLock:
                 raise RuntimeError(
                     f"chunk dir {chunk_dir} is being written by live pid {owner}"
                 )
+            self._steal_stale(owner)
+
+    def _steal_stale(self, owner: int) -> None:
+        """Remove a dead owner's lockfile, safely under concurrency.
+
+        A bare read-check-remove is a TOCTOU race: two resumed writers
+        can both observe the dead owner, then the slower remove() deletes
+        the faster one's freshly-acquired LIVE lock and both "own" the
+        dir. Stealers therefore serialize on a secondary O_EXCL mutex
+        and RE-CHECK the owner inside it: normal acquirers can never
+        replace an existing lock (os.link cannot overwrite), and no one
+        else can remove it while we hold the mutex, so an owner that
+        re-reads as dead inside the mutex is stable and safe to remove.
+        Returning without removing is always safe — the caller loops and
+        re-runs the live-owner check."""
+        import os
+        import time as _time
+
+        mutex = self.path + ".steal"
+        try:
+            fd = os.open(mutex, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # another stealer is mid-steal (critical section is
+            # microseconds) or crashed there: age out its mutex
+            try:
+                if _time.time() - os.path.getmtime(mutex) > 60.0:
+                    os.remove(mutex)
+            except (FileNotFoundError, OSError):
+                pass
+            _time.sleep(0.05)
+            return
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            try:
+                cur = int(open(self.path).read().strip() or "0")
+            except FileNotFoundError:
+                return  # released/stolen already; caller retries the link
+            except (OSError, ValueError):
+                cur = 0
+            if cur != owner or (cur and _pid_alive(cur)):
+                return  # changed hands since our check; caller re-checks
             LOGGER.warning("stealing stale chunk-dir lock from pid %s", owner)
             try:
                 os.remove(self.path)
+            except FileNotFoundError:
+                pass
+        finally:
+            try:
+                os.remove(mutex)
             except FileNotFoundError:
                 pass
 
@@ -171,8 +218,13 @@ class ScoreMatrixBuilder:
         if key in self._step_cache:
             return self._step_cache[key]
         pair_len = lm + le - 1
-        rem = (-pair_len) % self.pair_pad_multiple
-        pair_len += rem
+        # clamp to the position table like the serving-side scorer
+        # (retriever._make_pair_scorer): a 128 multiple on a model with
+        # max_position_embeddings=64 would pad pairs past the embedding
+        # table AND give offline/online different pair shapes (different
+        # bf16 rounding between the train matrix and its consumers)
+        pad = min(self.pair_pad_multiple, self.encoder.spec.max_position_embeddings)
+        pair_len += (-pair_len) % pad
         n_chunks = n_e_shard // self.ent_block
         enc = self.encoder
         bm, be = self.ment_block, self.ent_block
@@ -434,7 +486,9 @@ class ScoreMatrixBuilder:
         n_m, lm = ment_tokens.shape
         n_e, le = ent_tokens.shape
         pair_len = lm + le - 1
-        pair_len += (-pair_len) % self.pair_pad_multiple
+        pair_len += (-pair_len) % min(
+            self.pair_pad_multiple, self.encoder.spec.max_position_embeddings
+        )
         be = max(self.ent_block, 1)
         n_e_pad = n_e + ((-n_e) % be)
         ents_padded = np.zeros((n_e_pad, le), ent_tokens.dtype)

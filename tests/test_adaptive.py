@@ -56,3 +56,21 @@ def test_single_round_equals_fixed_anchor_retrieval(rng):
     )
     assert scored.shape[1] == 20
     assert np.all(np.isin(ids, scored[0]))  # round-0 anchors are shared
+
+
+def test_budget_below_topk_fills_with_minus_one(rng):
+    """Unfilled result slots must be id -1 / score -inf, never a
+    genuine-looking item 0 (which inflated recall whenever item 0 was in
+    the exact top-k)."""
+    full, train = make_matrix(rng, n_q=4, n_train=30, n_items=100, rank=5, noise=0.0)
+
+    def score_items(ids):
+        return full[:, ids]
+
+    scores, ids, _ = adaptive_cur_query(
+        train, score_items, 100, total_budget=3, n_rounds=1, top_k=10, seed=0
+    )
+    assert ids.shape == (4, 10)
+    assert np.all(ids[:, 3:] == -1)
+    assert np.all(np.isneginf(scores[:, 3:]))
+    assert np.all(ids[:, :3] >= 0)

@@ -96,3 +96,15 @@ def test_adaptive_methods_via_inductive_eval(tmp_path, rng):
         assert r60 >= r30 - 0.1  # more budget shouldn't hurt
         rows = recall_vs_cost_table(res, method, top_k=10)
         assert rows[0]["cost"] == 30  # cost = budget (k_retvr=0)
+
+
+def test_axn_budget_below_topk_fills_with_minus_one(rng):
+    full, train = make(rng, 3, 30, 80, rank=5, noise=0.0)
+    index = fit_item_embeddings(train, rank=8)
+
+    def score_items(ids):
+        return full[:, ids]
+
+    scores, ids = axn_query(index, score_items, 80, total_budget=4, n_rounds=1, top_k=8)
+    assert np.all(ids[:, 4:] == -1) and np.all(np.isneginf(scores[:, 4:]))
+    assert np.all(ids[:, :4] >= 0)

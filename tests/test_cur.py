@@ -194,3 +194,24 @@ def test_build_cur_rcond_noise_rejects_tracers():
 
     with pytest.raises(ValueError, match="concrete"):
         jax.jit(f)(jnp.asarray(M))
+
+
+def test_build_cur_default_validate_is_jit_safe(low_rank_factory):
+    """The module advertises jit-compatibility; the intersection check
+    must auto-skip under tracing instead of raising
+    TracerBoolConversionError on the default validate=True."""
+    import jax
+
+    mat = low_rank_factory(n=24, m=40, rank=4)
+    row_idxs = np.arange(6)
+    col_idxs = np.arange(6)
+
+    @jax.jit
+    def build(rows, cols):
+        return build_cur(rows, cols, row_idxs, col_idxs)
+
+    idx = build(jnp.asarray(mat[:6]), jnp.asarray(mat[:, :6]))
+    ref = build_cur(mat[:6], mat[:, :6], row_idxs, col_idxs)
+    np.testing.assert_allclose(
+        np.asarray(idx.reconstruct()), np.asarray(ref.reconstruct()), atol=5e-3
+    )

@@ -130,6 +130,29 @@ def test_chunk_dir_lock(tmp_path):
     lock2 = ChunkDirLock(d)
     lock2.release()
 
+    # steal serialization: while another stealer holds the steal mutex,
+    # _steal_stale must NOT remove the lock (TOCTOU guard — a slow
+    # second stealer used to delete the fast one's freshly-taken LIVE
+    # lock and both writers "owned" the dir)
+    lockfile = os.path.join(d, ".lock")
+    with open(lockfile, "w") as fout:
+        fout.write("999999999")
+    mutex = lockfile + ".steal"
+    with open(mutex, "w") as fout:
+        fout.write("1")  # a concurrent stealer mid-steal
+    holder = ChunkDirLock.__new__(ChunkDirLock)
+    holder.path = lockfile
+    holder._steal_stale(999999999)
+    assert os.path.exists(lockfile), "stole through a held steal mutex"
+    os.remove(mutex)
+    # and a lock that changed hands to a LIVE owner since the dead read
+    # is left alone even once the mutex is free
+    with open(lockfile, "w") as fout:
+        fout.write(str(os.getpid()))
+    holder._steal_stale(999999999)
+    assert os.path.exists(lockfile), "removed a live lock after re-check"
+    os.remove(lockfile)
+
 
 def test_load_reference_style_pickle_with_torch_tensors(tmp_path):
     """The reference pickles torch tensors (run_cross_encoder_for_ment_

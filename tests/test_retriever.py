@@ -273,3 +273,26 @@ def test_removed_max_id_is_never_reused(mesh8):
     new_ids = retr.add_items(ent[20:22], builder)
     assert max_id not in set(new_ids.tolist())
     assert new_ids.min() > max_id
+
+
+def test_retriever_rejects_cols_preference_index():
+    """The fused query program computes anchor_scores @ latent_cols,
+    which is U@R only under approx_preference='rows'; a 'cols' index
+    must be rejected at construction, not silently mis-scored."""
+    from anncur_tpu.core.cur import build_cur_from_matrix
+    from anncur_tpu.models.tokenizer import WordPieceTokenizer, make_test_vocab
+
+    rng = np.random.default_rng(0)
+    mat = (rng.standard_normal((12, 6)) @ rng.standard_normal((6, 30))).astype(np.float32)
+    idx = build_cur_from_matrix(
+        mat, np.arange(8), np.arange(8), approx_preference="cols"
+    )
+    with pytest.raises(ValueError, match="approx_preference"):
+        CurRetriever(
+            encoder=None,
+            params=None,
+            tokenizer=WordPieceTokenizer(make_test_vocab()),
+            item_tokens=np.zeros((30, 8), np.int32),
+            index=idx,
+            anchor_item_ids=np.arange(8),
+        )
