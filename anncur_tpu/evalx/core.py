@@ -29,9 +29,13 @@ def retrieve_rerank(
 ) -> Dict[str, jax.Array]:
     """Returns exact top-k, approx top-k_retvr, and the reranked top-k
     (approx retrieval reranked by exact scores)."""
+    from anncur_tpu.core.adaptive_fused import take_per_row
+
     exact_scores, exact_idx = lax.top_k(exact, top_k)
     approx_scores, approx_idx = lax.top_k(approx, top_k_retvr)
-    gathered = jnp.take_along_axis(exact, approx_idx, axis=1)
+    # flat 1-D take: take_along_axis at (q, large_n) x (q, small_k)
+    # lowers pathologically on TPU (513 s compile measured, CLAUDE.md)
+    gathered = take_per_row(exact, approx_idx)
     rr_scores, rr_pos = lax.top_k(gathered, top_k)
     rr_idx = jnp.take_along_axis(approx_idx, rr_pos, axis=1)
     return {

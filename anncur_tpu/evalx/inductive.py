@@ -82,8 +82,12 @@ def run_inductive_eval(
     written to res_dir/method={method}_s={seed}{misc}/res.json."""
     import jax.numpy as jnp
 
-    test_scores = jnp.asarray(np.asarray(test_scores, np.float32))  # one upload
-    n_test, n_ents = test_scores.shape
+    # host copy stays authoritative: the grid eval and the adaptive loop
+    # are pure numpy, so only the CUR/fixed-anc branches (device matmuls)
+    # upload — the old unconditional jnp.asarray + later np.asarray sent
+    # a GB-scale matrix through the remote tunnel twice for nothing
+    test_host = np.asarray(test_scores, np.float32)
+    n_test, n_ents = test_host.shape
     top_k_vals = list(top_k_vals or TOP_K_VALS)
 
     is_budget_method = "cur" in method or "fixed_anc_ent" in method
@@ -106,10 +110,11 @@ def run_inductive_eval(
         if train_scores is None:
             raise ValueError("method 'cur' requires train_scores")
         train_scores = np.asarray(train_scores, np.float32)
+        test_dev = jnp.asarray(test_host)  # one upload for all budgets
         for n_anc in n_ent_anchors_vals:
             anchor_ents = np.asarray(sorted(rng.choice(n_ents, size=n_anc, replace=False)))
             approx_per_budget[n_anc] = cur_project_test_scores(
-                train_scores, test_scores[:, anchor_ents], anchor_ents, rcond=rcond
+                train_scores, test_dev[:, anchor_ents], anchor_ents, rcond=rcond
             )
     elif method == "bienc":
         if bienc_scores is None:
@@ -127,17 +132,27 @@ def run_inductive_eval(
         # precision-correct helper (TPU-default bf16 matmul silently
         # degrades retrieval scores — transductive.py documents the fix)
         scores = np.asarray(fixed_anc_ent_approx(
-            test_scores, ent_to_ent_data["scores"], ent_to_ent_data["anchor_ents"]
+            jnp.asarray(test_host), ent_to_ent_data["scores"], ent_to_ent_data["anchor_ents"]
         ))
         approx_per_budget = {v: scores for v in n_ent_anchors_vals}
     elif method == "fixed_anc_ent_cur":
         if ent_to_ent_data is None:
             raise ValueError("method 'fixed_anc_ent_cur' requires ent_to_ent_data")
-        from anncur_tpu.evalx.transductive import fixed_anc_ent_cur_approx
+        from anncur_tpu.evalx.transductive import (
+            fixed_anc_ent_cur_approx,
+            sample_anchors,
+        )
 
+        # ONE advancing rng across successive anchor budgets (the
+        # reference draws all anchor sets from a single rng —
+        # run_..._w_fixed_train_test_splits.py:343-348; a fresh rng per
+        # budget matched it only for the first value)
+        e2e = np.asarray(ent_to_ent_data["scores"])
+        fae_rng = np.random.default_rng(seed=seed)
         for n_anc in n_ent_anchors_vals:
             approx_per_budget[n_anc] = fixed_anc_ent_cur_approx(
-                test_scores, np.asarray(ent_to_ent_data["scores"]), n_anc, seed=seed
+                test_host, e2e, n_anc,
+                anchor_idxs=sample_anchors(fae_rng, e2e.shape[0], n_anc),
             )
     elif method in ("adaptive_cur", "axn"):
         # adaptive multi-round methods: the whole CE budget is spent in
@@ -146,7 +161,7 @@ def run_inductive_eval(
         if train_scores is None:
             raise ValueError(f"method {method!r} requires train_scores")
         train_np = np.asarray(train_scores, np.float32)
-        test_np = np.asarray(test_scores, np.float32)
+        test_np = test_host
 
         def score_items_fn(ids):
             return test_np[:, ids]
@@ -199,7 +214,7 @@ def run_inductive_eval(
     # (bienc/tfidf/fixed_anc_ent map every anchor budget to the same
     # array; the per-(kr) jit programs the old loop compiled cost one
     # remote-TPU compile each)
-    test_np = np.asarray(test_scores)
+    test_np = test_host
     grid_cache: Dict[int, Dict] = {}
     for n_anc, approx in approx_per_budget.items():
         key = id(approx)

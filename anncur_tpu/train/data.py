@@ -170,6 +170,7 @@ def bienc_batches(
     shuffle: bool = True,
     seed: int = 0,
     drop_remainder: bool = True,
+    pad_remainder: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {'input': (b,Lm), 'pos': (b,Le), 'negs': (b,n,Le)}.
     Fixed batch shapes (last partial batch dropped or padded-by-wrap:
@@ -184,8 +185,11 @@ def bienc_batches(
             if drop_remainder and n >= batch_size:
                 return
             # np.resize cycles when n < batch_size — a plain slice of order
-            # underfilled the batch and broke the fixed-shape contract
-            idx = np.resize(np.concatenate([idx, order]), batch_size)
+            # underfilled the batch and broke the fixed-shape contract.
+            # pad_remainder=False instead yields the short tail as-is
+            # (eval: every example exactly once, one extra jit shape)
+            if pad_remainder:
+                idx = np.resize(np.concatenate([idx, order]), batch_size)
         yield {
             "input": data.mention_tokens[idx],
             "pos": data.entity_tokens[data.gt_labels[idx]],
@@ -200,6 +204,7 @@ def crossenc_batches(
     shuffle: bool = True,
     seed: int = 0,
     drop_remainder: bool = True,
+    pad_remainder: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {'pos_pairs': (b, Lp), 'neg_pairs': (b, n, Lp)} where
     Lp = Lm + Le - 1 (pair concat dropping the entity CLS,
@@ -218,8 +223,11 @@ def crossenc_batches(
             if drop_remainder and n >= batch_size:
                 return
             # np.resize cycles when n < batch_size — a plain slice of order
-            # underfilled the batch and broke the fixed-shape contract
-            idx = np.resize(np.concatenate([idx, order]), batch_size)
+            # underfilled the batch and broke the fixed-shape contract.
+            # pad_remainder=False instead yields the short tail as-is
+            # (eval: every example exactly once, one extra jit shape)
+            if pad_remainder:
+                idx = np.resize(np.concatenate([idx, order]), batch_size)
         b = len(idx)
         pos_pairs = np.empty((b, lp), np.int32)
         neg_pairs = np.empty((b, num_negs, lp), np.int32)
@@ -239,6 +247,8 @@ def distill_triplet_batches(
     seed: int = 0,
     input_embeds: Optional[np.ndarray] = None,
     label_embeds: Optional[np.ndarray] = None,
+    drop_remainder: bool = False,
+    pad_remainder: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Triplet-style distillation (reference neg_strategy
     'top_ce_w_bienc_hard_negs_trp' / 'top_ce_w_rand_negs_trp',
@@ -273,9 +283,12 @@ def distill_triplet_batches(
     for i in range(0, n, batch_size):
         idx = order[i : i + batch_size]
         if len(idx) < batch_size:
+            if drop_remainder and len(order) >= batch_size:
+                return
             # np.resize cycles when n < batch_size — a plain slice of order
             # underfilled the batch and broke the fixed-shape contract
-            idx = np.resize(np.concatenate([idx, order]), batch_size)
+            if pad_remainder:
+                idx = np.resize(np.concatenate([idx, order]), batch_size)
         yield {
             "input": data.mention_tokens[ment_rows[idx]],
             "pos": data.entity_tokens[pos_flat[idx]],
@@ -289,6 +302,8 @@ def distill_batches(
     batch_size: int,
     shuffle: bool = True,
     seed: int = 0,
+    drop_remainder: bool = False,
+    pad_remainder: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {'input': (b,Lm), 'labels': (b,N,Le), 'target_scores': (b,N)}
     for bi-encoder distillation from teacher CE scores (reference
@@ -302,9 +317,12 @@ def distill_batches(
     for i in range(0, data.n_ments, batch_size):
         idx = order[i : i + batch_size]
         if len(idx) < batch_size:
+            if drop_remainder and len(order) >= batch_size:
+                return
             # np.resize cycles when n < batch_size — a plain slice of order
             # underfilled the batch and broke the fixed-shape contract
-            idx = np.resize(np.concatenate([idx, order]), batch_size)
+            if pad_remainder:
+                idx = np.resize(np.concatenate([idx, order]), batch_size)
         yield {
             "input": data.mention_tokens[idx],
             "labels": data.entity_tokens[top["indices"][idx]],

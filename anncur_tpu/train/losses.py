@@ -62,7 +62,15 @@ def bienc_loss_in_batch_negs(
 ) -> jax.Array:
     """In-batch negatives (reference: compute_loss_w_in_batch_negs,
     models/biencoder.py:604-638)."""
-    scores = jnp.dot(input_embs, pos_label_embs.T, preferred_element_type=jnp.float32)
+    # score-path matmul: full f32 multiply precision (CLAUDE.md rule —
+    # preferred_element_type fixes only the accumulator; the bf16 input
+    # truncation still blurs near-duplicate entity scores in the softmax
+    # and in the eval-mode dev_loss that drives checkpoint selection).
+    # The (b, d) x (d, b) dot is tiny next to the encoder forward.
+    scores = jnp.dot(
+        input_embs, pos_label_embs.T,
+        preferred_element_type=jnp.float32, precision="highest",
+    )
     b = scores.shape[0]
     if loss_type == "ce":
         return _softmax_xent_int_target(scores, jnp.arange(b, dtype=jnp.int32))

@@ -255,6 +255,16 @@ class Trainer:
                 acc_eff, micro = 1, b
             else:
                 acc_eff = acc
+            if acc_eff * micro != b and k not in self._warned_replicated:
+                # same loudness as the non-divisible-mesh warning below:
+                # a batch size not divisible by grad_acc_steps silently
+                # dropped the tail samples from EVERY step
+                self._warned_replicated.add(k)
+                LOGGER.warning(
+                    "batch %r size %d not divisible by grad_acc_steps=%d: "
+                    "dropping %d samples per step — pick a divisible "
+                    "train_batch_size", k, b, acc_eff, b - acc_eff * micro,
+                )
             out[k] = v[: acc_eff * micro].reshape((acc_eff, micro) + v.shape[1:])
         multi = self.mesh is not None and jax.process_count() > 1
         if self.mesh is not None:
@@ -312,7 +322,10 @@ class Trainer:
         return self._eval_fns[fse]
 
     def evaluate(self, state: TrainState, batches: Iterator[Dict]) -> Dict[str, float]:
-        losses, mrrs = [], []
+        # per-batch losses are means over that batch: weight by batch
+        # size so a short tail batch (eval batching pads nothing) does
+        # not over-count its examples in the dataset-level mean
+        losses, mrrs, weights = [], [], []
         for batch in batches:
             if "first_segment_end" in batch:
                 self._fse = int(batch["first_segment_end"])
@@ -324,12 +337,33 @@ class Trainer:
             }
             loss, aux = eval_fn(state.params, b)
             losses.append(float(loss))
+            weights.append(next(v.shape[0] for v in b.values() if np.ndim(v) > 0))
             if "mrr" in aux:
                 mrrs.append(float(aux["mrr"]))
-        res = {"dev_loss": float(np.mean(losses)) if losses else float("nan")}
+        w = np.asarray(weights, np.float64)
+        res = {
+            "dev_loss": float(np.average(losses, weights=w)) if losses else float("nan")
+        }
         if mrrs:
-            res["dev_mrr"] = float(np.mean(mrrs))
+            res["dev_mrr"] = float(np.average(mrrs, weights=w[: len(mrrs)]))
         return res
+
+    def _place_like(self, template: TrainState, restored: TrainState) -> TrainState:
+        """Place a host-restored state the way the live ``template`` is
+        placed (mesh-replicated, TP-sharded, or multi-host global)."""
+        if self.mesh is None:
+            return restored
+        if jax.process_count() > 1:
+            from anncur_tpu.parallel.multihost import replicate_from_host
+
+            return replicate_from_host(self.mesh, restored)
+
+        def put(tmpl, leaf):
+            if isinstance(tmpl, jax.Array):
+                return jax.device_put(leaf, tmpl.sharding)
+            return leaf
+
+        return jax.tree.map(put, template, restored)
 
     # ---------------- full loop --------------------------------------- #
 
@@ -346,7 +380,7 @@ class Trainer:
             last = self._ckpt.latest_eoe()
             if last is not None:
                 tree, _ = load_pytree(last["path"])
-                state = dataclasses.replace(
+                restored = dataclasses.replace(
                     state,
                     params=tree["params"],
                     opt_state=tree["opt_state"],
@@ -355,6 +389,12 @@ class Trainer:
                     # to the fresh seed-derived stream for those
                     rng=tree.get("rng", state.rng),
                 )
+                # re-establish the live placement: init_state replicated/
+                # sharded the state over the mesh, and the restored host
+                # leaves must match it (multi-host resume crashed on the
+                # first step mixing a global-mesh batch with host-local
+                # params; single-host silently lost the NamedSharding)
+                state = self._place_like(state, restored)
                 start_epoch = last["epoch"] + 1
                 LOGGER.info("resumed from %s (epoch %d)", last["path"], start_epoch)
 
@@ -397,19 +437,24 @@ class Trainer:
             # + end-of-epoch, pairwise_trainer.py:214-237)
             if dev_data is not None:
                 self._dev_eval_and_ckpt(state, dev_data, batch_size, epoch)
-            self._ckpt.save_end_of_epoch(
-                {
-                    "params": state.params,
-                    "opt_state": state.opt_state,
-                    "step": int(state.step),
-                    # rng continuity: resume must pick up the dropout
-                    # stream mid-sequence, not rewind to the seed
-                    # (typed rbg keys pickle via checkpoint._KeyLeaf)
-                    "rng": state.rng,
-                },
-                epoch,
-                int(state.step),
-            )
+            # multi-host: every process runs train() SPMD with a shared
+            # result_dir; concurrent writers would interleave the same
+            # eoe/manifest files. State is replicated, so the process-0
+            # checkpoint speaks for all.
+            if jax.process_index() == 0:
+                self._ckpt.save_end_of_epoch(
+                    {
+                        "params": state.params,
+                        "opt_state": state.opt_state,
+                        "step": int(state.step),
+                        # rng continuity: resume must pick up the dropout
+                        # stream mid-sequence, not rewind to the seed
+                        # (typed rbg keys pickle via checkpoint._KeyLeaf)
+                        "rng": state.rng,
+                    },
+                    epoch,
+                    int(state.step),
+                )
         return state
 
     def _dev_eval_and_ckpt(self, state: TrainState, dev_data, batch_size: int, epoch: int) -> None:
@@ -422,14 +467,31 @@ class Trainer:
             self._dev_negs_epoch = epoch
         dev_negs = self._dev_negs
         dev_metrics = self.evaluate(
-            state, self._make_batches(dev_data, dev_negs, batch_size, epoch, shuffle=False)
+            state,
+            self._make_batches(dev_data, dev_negs, batch_size, epoch, shuffle=False,
+                               for_eval=True),
         )
         LOGGER.info("epoch %d dev: %s", epoch, dev_metrics)
         if self.tracker is not None:
             self.tracker.log(dict(dev_metrics, epoch=epoch), step=int(state.step))
-        metric_val = dev_metrics.get(
-            "dev_mrr" if cfg.ckpt_metric == "mrr" else "dev_loss", float("nan")
-        )
+        metric_name = "dev_mrr" if cfg.ckpt_metric == "mrr" else "dev_loss"
+        if metric_name not in dev_metrics:
+            # e.g. ckpt_metric='mrr' with in_batch/distill strategies,
+            # whose eval produces no ranked candidates: without this the
+            # top-k manifest stayed silently empty for the whole run
+            if not getattr(self, "_warned_missing_metric", False):
+                LOGGER.warning(
+                    "ckpt_metric=%s but eval produced no %s (neg_strategy=%s "
+                    "yields no ranked candidates); selecting top-k "
+                    "checkpoints by dev_loss instead",
+                    cfg.ckpt_metric, metric_name, cfg.neg_strategy,
+                )
+                self._warned_missing_metric = True
+                self._ckpt.metric, self._ckpt.mode = "loss", "min"
+            metric_name = "dev_loss"
+        metric_val = dev_metrics.get(metric_name, float("nan"))
+        if jax.process_index() != 0:
+            return  # single-writer checkpointing (see train())
         if np.isfinite(metric_val):
             self._ckpt.maybe_save(
                 {
@@ -463,14 +525,22 @@ class Trainer:
             )
         return data_mod.mine_negatives(data, cfg.neg_strategy, cfg.num_negs, seed=epoch)
 
-    def _make_batches(self, data, neg_labels, batch_size, epoch, shuffle=None):
+    def _make_batches(self, data, neg_labels, batch_size, epoch, shuffle=None,
+                      for_eval=False):
         shuffle = self.config.shuffle_data if shuffle is None else shuffle
+        # eval must see every example exactly once: no tail drop, no
+        # wrap-padding (which duplicated examples into the dev metrics
+        # that drive top-k checkpoint selection); costs one extra jit
+        # shape for the short tail batch. Training keeps each
+        # generator's default tail behavior (fixed shapes).
+        tail = {"drop_remainder": False, "pad_remainder": False} if for_eval else {}
         if self.is_bienc:
             if self.config.neg_strategy == "top_ce_match":
                 # distillation from teacher CE scores (reference
                 # 'top_ce_match' datasets, data_process.py:706-868)
                 return data_mod.distill_batches(
-                    data, self.config.distill_n_labels, batch_size, shuffle, epoch
+                    data, self.config.distill_n_labels, batch_size, shuffle, epoch,
+                    **tail,
                 )
             if self.config.neg_strategy in self.DISTILL_TRP_STRATEGIES:
                 # triplet-style distillation (reference
@@ -495,14 +565,15 @@ class Trainer:
                         self._trp_embed_cache = (key, inp, lab)
                 return data_mod.distill_triplet_batches(
                     data, self.config.distill_n_labels, batch_size, shuffle, epoch,
-                    input_embeds=inp, label_embeds=lab,
+                    input_embeds=inp, label_embeds=lab, **tail,
                 )
             if neg_labels is None:
                 return (
                     {"input": b["input"], "pos": b["pos"]}
                     for b in data_mod.bienc_batches(
-                        data, np.zeros((data.n_ments, 1), np.int64), batch_size, shuffle, epoch
+                        data, np.zeros((data.n_ments, 1), np.int64), batch_size,
+                        shuffle, epoch, **tail,
                     )
                 )
-            return data_mod.bienc_batches(data, neg_labels, batch_size, shuffle, epoch)
-        return data_mod.crossenc_batches(data, neg_labels, batch_size, shuffle, epoch)
+            return data_mod.bienc_batches(data, neg_labels, batch_size, shuffle, epoch, **tail)
+        return data_mod.crossenc_batches(data, neg_labels, batch_size, shuffle, epoch, **tail)

@@ -503,3 +503,85 @@ def test_crash_resume_bitwise_with_dropout(tmp_path, tiny_world, mesh8):
         jax.tree_util.tree_leaves(state_mono.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_batches_cover_full_dev_set_exactly_once(tiny_world):
+    """Eval batching (drop_remainder=False, pad_remainder=False) must
+    yield every example exactly once — the train-time tail drop /
+    wrap-pad used to bias the dev metrics that pick top-k checkpoints."""
+    from anncur_tpu.train.data import bienc_batches, crossenc_batches, distill_batches
+
+    data, tok = tiny_world  # 32 mentions
+    negs = np.zeros((data.n_ments, 2), np.int64)
+    kw = dict(shuffle=False, drop_remainder=False, pad_remainder=False)
+
+    rows = [b["input"].shape[0] for b in bienc_batches(data, negs, 5, **kw)]
+    assert sum(rows) == 32 and rows[-1] == 2  # 6x5 + tail 2
+
+    rows = [b["pos_pairs"].shape[0] for b in crossenc_batches(data, negs, 5, **kw)]
+    assert sum(rows) == 32 and rows[-1] == 2
+
+    # n < batch_size: one short batch, no wrap duplication
+    small = EntLinkDataset(
+        data.mention_tokens[:3], data.entity_tokens, data.gt_labels[:3]
+    )
+    rows = [b["input"].shape[0] for b in bienc_batches(small, negs[:3], 8, **kw)]
+    assert rows == [3]
+
+    sm = np.asarray(np.random.default_rng(0).standard_normal((3, data.n_ents)), np.float32)
+    small_d = EntLinkDataset(
+        data.mention_tokens[:3], data.entity_tokens, data.gt_labels[:3],
+        score_matrix=sm,
+    )
+    rows = [b["input"].shape[0] for b in distill_batches(small_d, 2, 8, **kw)]
+    assert rows == [3]
+
+
+def test_weighted_dev_loss_counts_each_example_once(tmp_path, tiny_world, mesh8):
+    """dev_loss must equal the example-weighted mean over ALL dev
+    examples (tail batch included, shorter and weighted by its size)."""
+    data, tok = tiny_world
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1,
+                         num_heads=2, intermediate_size=64)
+    enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=32, compute_dtype=jnp.float32)
+    cfg = _mk_config(tmp_path, model_type="bi_enc", neg_strategy="in_batch",
+                     train_batch_size=5, num_epochs=1)
+    tr = Trainer(cfg, enc, mesh=None, total_steps=10)
+    state = tr.init_state()
+    batches = list(tr._make_batches(data, None, 5, 0, shuffle=False, for_eval=True))
+    sizes = [b["input"].shape[0] for b in batches]
+    assert sum(sizes) == data.n_ments and sizes[-1] == 2
+    got = tr.evaluate(state, iter(batches))["dev_loss"]
+    # manual weighted mean over the same batches
+    losses = []
+    for b in batches:
+        eval_fn = tr._get_eval_fn(None)
+        loss, _ = eval_fn(state.params, {k: jnp.asarray(v) for k, v in b.items()})
+        losses.append(float(loss))
+    want = float(np.average(losses, weights=sizes))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_resume_preserves_mesh_placement(tmp_path, tiny_world, mesh8):
+    """Resumed state must carry the same NamedSharding placement the
+    fresh init established (host-numpy leaves broke multi-host resume
+    and silently unplaced single-host mesh training)."""
+    data, tok = tiny_world
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1,
+                         num_heads=2, intermediate_size=64)
+    enc = BiEncoder(spec=spec, pooling_type="cls", embed_dim=32, compute_dtype=jnp.float32)
+    cfg = _mk_config(tmp_path, model_type="bi_enc", neg_strategy="in_batch",
+                     num_epochs=1)
+    tr = Trainer(cfg, enc, mesh=mesh8, total_steps=20)
+    tr.train(data, dev_data=None)
+
+    cfg2 = _mk_config(tmp_path, model_type="bi_enc", neg_strategy="in_batch",
+                      num_epochs=2)
+    tr2 = Trainer(cfg2, enc, mesh=mesh8, total_steps=20)
+    state2 = tr2.train(data, dev_data=None, resume=True)
+    fresh = tr2.init_state()
+    leaf2 = jax.tree_util.tree_leaves(state2.params)[0]
+    leaf0 = jax.tree_util.tree_leaves(fresh.params)[0]
+    assert leaf2.sharding.is_equivalent_to(leaf0.sharding, leaf2.ndim), (
+        leaf2.sharding, leaf0.sharding,
+    )
