@@ -40,13 +40,20 @@ def preprocess_zeshel_data(root_data_dir: str) -> None:
             LOGGER.warning("missing %s; skipping split", ment_path)
             continue
         blink_mentions = []
+        # many mentions share a context document: split each document
+        # once, not once per mention (military: 13k mentions over far
+        # fewer documents — O(doc_len) per mention was pure rework)
+        split_cache: Dict[str, list] = {}
         with open(ment_path) as fin:
             for line in fin:
                 m = json.loads(line.strip())
                 label_doc = documents[m["label_document_id"]]
                 context_doc = documents[m["context_document_id"]]
                 start, end = m["start_index"], m["end_index"]
-                tokens = context_doc["text"].split()
+                tokens = split_cache.get(m["context_document_id"])
+                if tokens is None:
+                    tokens = context_doc["text"].split()
+                    split_cache[m["context_document_id"]] = tokens
                 extracted = " ".join(tokens[start : end + 1])
                 if extracted != m["text"]:
                     raise ValueError(

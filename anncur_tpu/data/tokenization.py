@@ -16,7 +16,12 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-from anncur_tpu.models.special_tokens import ENT_END_TAG, ENT_START_TAG, ENT_TITLE_TAG
+from anncur_tpu.models.special_tokens import (
+    ENT_END_TAG,
+    ENT_START_TAG,
+    ENT_TITLE_TAG,
+    check_tag_ids,
+)
 from anncur_tpu.models.tokenizer import WordPieceTokenizer
 
 
@@ -33,6 +38,8 @@ def get_context_representation(
     (reference: utils/data_process.py:965-1008)."""
     mention_tokens: List[str] = []
     if sample.get(mention_key):
+        if ent_start_token == ENT_START_TAG:
+            check_tag_ids(tokenizer.vocab)  # tags read statically by the encoders
         mention_tokens = tokenizer.tokenize(sample[mention_key])
         mention_tokens = [ent_start_token] + mention_tokens + [ent_end_token]
 
@@ -77,6 +84,8 @@ def get_candidate_representation(
     (reference: utils/data_process.py:1011-1040)."""
     cand_tokens = tokenizer.tokenize(candidate_desc)
     if candidate_title is not None:
+        if title_tag == ENT_TITLE_TAG:
+            check_tag_ids(tokenizer.vocab)  # tags read statically by the encoders
         title_tokens = tokenizer.tokenize(candidate_title)
         cand_tokens = title_tokens + [title_tag] + cand_tokens
     cand_tokens = cand_tokens[: max_seq_length - 2]
@@ -149,6 +158,7 @@ def get_candidate_representation_ids(
     v = tokenizer.vocab
     ids = tokenizer.encode(candidate_desc)
     if candidate_title is not None:
+        check_tag_ids(v)  # tags read statically by the encoders
         ids = tokenizer.encode(candidate_title) + [v[ENT_TITLE_TAG]] + ids
     ids = [v["[CLS]"]] + ids[: max_seq_length - 2] + [v["[SEP]"]]
     return ids + [0] * (max_seq_length - len(ids))

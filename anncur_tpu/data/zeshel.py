@@ -154,6 +154,17 @@ def load_mentions(
                 LOGGER.warning("mention label %s not in entity set; skipping", label_doc_id)
                 continue
             mention_text = rec.get("mention", rec.get("text"))
+            if mention_text is None or "context_left" not in rec:
+                # raw zeshel dumps carry start_index/end_index offsets
+                # into a separate documents file instead of context
+                # strings; they must go through preprocess_zeshel_data
+                # first (a bare KeyError here was unactionable)
+                raise ValueError(
+                    f"{ment_file}: record has no mention/context_left keys — "
+                    "raw zeshel dumps must be converted with "
+                    "anncur_tpu.data.preprocess.preprocess_zeshel_data "
+                    "(cli.preprocess_zeshel) before loading"
+                )
             mentions.append(
                 {
                     "mention": mention_text.lower(),

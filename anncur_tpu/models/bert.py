@@ -317,7 +317,7 @@ def _encoder_layer_select_only(
     scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(hd) + mask_bias  # (b, nh, g, s)
     probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-    if attn_rng is not None and dropout_rate:
+    if attn_rng is not None and spec.attention_dropout:
         rate = spec.attention_dropout
         keep = jax.random.bernoulli(attn_rng, 1.0 - rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
@@ -339,7 +339,9 @@ def _encoder_layer_select_only(
 
 def _encoder_layer(x, mask_bias, layer_params, spec, dtype, rngs, dropout_rate, attn_remat=False):
     attn_rng, hid_rng1, hid_rng2 = rngs if rngs is not None else (None, None, None)
-    a = _attention(x, mask_bias, layer_params["attn"], spec, dtype, attn_rng, spec.attention_dropout if dropout_rate else 0.0, attn_remat=attn_remat)
+    # attention dropout is its own rate: gate on the rng (train mode),
+    # not on the hidden rate
+    a = _attention(x, mask_bias, layer_params["attn"], spec, dtype, attn_rng, spec.attention_dropout if rngs is not None else 0.0, attn_remat=attn_remat)
     if hid_rng1 is not None and dropout_rate:
         keep = jax.random.bernoulli(hid_rng1, 1.0 - dropout_rate, a.shape)
         a = jnp.where(keep, a / (1.0 - dropout_rate), 0.0)
@@ -393,7 +395,8 @@ def bert_encode(
     )
     x = _layer_norm(x.astype(compute_dtype), emb["ln_scale"], emb["ln_bias"], spec.layer_norm_eps)
 
-    rate = spec.hidden_dropout if (dropout and dropout_rng is not None) else 0.0
+    want_dropout = dropout and dropout_rng is not None
+    rate = spec.hidden_dropout if want_dropout else 0.0
     if rate:
         drop_key, dropout_rng = jax.random.split(dropout_rng)
         keep = jax.random.bernoulli(drop_key, 1.0 - rate, x.shape)
@@ -417,7 +420,10 @@ def bert_encode(
     elif remat:
         layer_fn = jax.checkpoint(_encoder_layer, static_argnums=(3, 4, 6))
 
-    if rate and dropout_rng is not None:
+    # rng plumbing keys on EITHER rate being nonzero: gating on
+    # hidden_dropout alone silently disabled attention dropout for
+    # hidden_dropout=0 specs (the layers decide per-rate below)
+    if want_dropout and (spec.hidden_dropout or spec.attention_dropout):
         layer_rngs = [tuple(jax.random.split(k, 3)) for k in jax.random.split(dropout_rng, spec.num_layers)]
     else:
         layer_rngs = [None] * spec.num_layers

@@ -73,14 +73,25 @@ class BiEncoder:
         if self.add_linear_layer:
             h = self.spec.hidden_size
             std = self.spec.initializer_range
-            params["input_linear"] = {
-                "kernel": jax.random.normal(k_lin1, (h, self.embed_dim), jnp.float32) * std,
-                "bias": jnp.zeros((self.embed_dim,), jnp.float32),
-            }
-            params["label_linear"] = {
-                "kernel": jax.random.normal(k_lin2, (h, self.embed_dim), jnp.float32) * std,
-                "bias": jnp.zeros((self.embed_dim,), jnp.float32),
-            }
+            if self.bi_enc_type == "shared":
+                # ONE projection head, like the shared tower itself: the
+                # reference's shared encoder has a single
+                # additional_linear (models/biencoder.py:72-87); two
+                # pytree leaves would get separate gradients and diverge
+                # from its semantics after the first optimizer step
+                params["linear"] = {
+                    "kernel": jax.random.normal(k_lin1, (h, self.embed_dim), jnp.float32) * std,
+                    "bias": jnp.zeros((self.embed_dim,), jnp.float32),
+                }
+            else:
+                params["input_linear"] = {
+                    "kernel": jax.random.normal(k_lin1, (h, self.embed_dim), jnp.float32) * std,
+                    "bias": jnp.zeros((self.embed_dim,), jnp.float32),
+                }
+                params["label_linear"] = {
+                    "kernel": jax.random.normal(k_lin2, (h, self.embed_dim), jnp.float32) * std,
+                    "bias": jnp.zeros((self.embed_dim,), jnp.float32),
+                }
         return params
 
     def _tower(self, params, which: str):
@@ -143,7 +154,10 @@ class BiEncoder:
         else:
             emb = pool_sequence(seq_out, pooled, self.pooling_type)
         if self.add_linear_layer:
-            lin = params["input_linear" if which == "input" else "label_linear"]
+            if self.bi_enc_type == "shared":
+                lin = params["linear"]
+            else:
+                lin = params["input_linear" if which == "input" else "label_linear"]
             if train and rng is not None:
                 drop = jax.random.bernoulli(jax.random.fold_in(rng, 7), 0.9, emb.shape)
                 emb = jnp.where(drop, emb / 0.9, 0.0)

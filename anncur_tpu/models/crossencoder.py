@@ -31,8 +31,11 @@ def to_cross_bert_input(
     mask = token_ids != null_idx
     if first_segment_end > 0:
         pos = jax.lax.broadcasted_iota(jnp.int32, token_ids.shape, 1)
+        # same null test as the mask: `> 0` would disagree with a
+        # nonzero null_idx (a legitimate id-0 token in segment 1 got
+        # segment 0 while being attended) — to_bert_input is consistent
         segment_ids = jnp.where(
-            (pos >= first_segment_end) & (token_ids > 0), 1, 0
+            (pos >= first_segment_end) & mask, 1, 0
         ).astype(token_ids.dtype)
     else:
         segment_ids = jnp.zeros_like(token_ids)

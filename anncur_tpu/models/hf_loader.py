@@ -92,6 +92,12 @@ def spec_from_hf_config(config) -> BertSpec:
     get = (lambda k, d=None: config.get(k, d)) if isinstance(config, dict) else (
         lambda k, d=None: getattr(config, k, d)
     )
+    required = ("vocab_size", "hidden_size", "num_hidden_layers",
+                "num_attention_heads", "intermediate_size")
+    missing = [k for k in required if get(k) is None]
+    if missing:
+        # a None would silently produce a malformed BertSpec
+        raise ValueError(f"HF config is missing required fields: {missing}")
     return BertSpec(
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
@@ -102,6 +108,10 @@ def spec_from_hf_config(config) -> BertSpec:
         type_vocab_size=get("type_vocab_size", 2),
         layer_norm_eps=get("layer_norm_eps", 1e-12),
         initializer_range=get("initializer_range", 0.02),
+        # fine-tuning an imported checkpoint must honor ITS dropout
+        # config, not this framework's 0.1/0.1 defaults
+        hidden_dropout=get("hidden_dropout_prob", 0.1),
+        attention_dropout=get("attention_probs_dropout_prob", 0.1),
     )
 
 
@@ -141,8 +151,9 @@ def biencoder_params_from_lightning(
             state_dict, spec, prefix="model.encoder.bert_model."
         )
         if add_linear_layer:
-            params["input_linear"] = _linear_params(state_dict, "model.encoder.additional_linear.")
-            params["label_linear"] = params["input_linear"]
+            # single shared head (matches BiEncoder.init's 'linear' slot;
+            # aliasing one array into two leaves let gradients diverge)
+            params["linear"] = _linear_params(state_dict, "model.encoder.additional_linear.")
     else:
         raise ValueError(f"bi_enc_type={bi_enc_type!r}")
     return params

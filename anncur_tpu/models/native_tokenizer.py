@@ -69,6 +69,14 @@ class NativeWordPieceTokenizer(WordPieceTokenizer):
         super().__init__(*args, **kw)
         self._lib = _ensure_lib()
         self._handle = None
+        if self._lib is not None and not self.basic.do_lower_case:
+            # wordpiece.cpp lowercases unconditionally; taking the fast
+            # path for a cased tokenizer would silently change ids
+            LOGGER.warning(
+                "do_lower_case=False: native tokenizer disabled "
+                "(the C fast path is lowercase-only; python path is exact)"
+            )
+            self._lib = None
         if self._lib is not None:
             # the C side assigns ids by ARRAY POSITION: a vocab with id
             # gaps (blank vocab.txt line, remapped ids) would silently

@@ -14,3 +14,21 @@ ENT_END_ID = 2
 ENT_TITLE_ID = 3
 
 NULL_IDX = 0  # [PAD]
+
+
+def check_tag_ids(vocab) -> None:
+    """The encoders locate the span/title tags at the FIXED bert-base
+    ids (ENT_START_ID/END/TITLE = 1/2/3) statically inside jit, while
+    the representation builders insert the tags by NAME lookup. A vocab
+    that maps the tag names to other ids would make w_embeds/spl_tkns
+    read the wrong positions with no error — refuse it up front."""
+    want = {ENT_START_TAG: ENT_START_ID, ENT_END_TAG: ENT_END_ID,
+            ENT_TITLE_TAG: ENT_TITLE_ID}
+    got = {t: vocab.get(t) for t in want}
+    bad = {t: g for t, g in got.items() if g is not None and g != want[t]}
+    if bad:
+        raise ValueError(
+            f"special tags must sit at the bert-base ids {want} (the "
+            f"encoders read those positions statically); this vocab maps "
+            f"{bad} — re-map the vocab or retrain without tag heads"
+        )

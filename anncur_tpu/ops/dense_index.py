@@ -47,31 +47,44 @@ class DenseIndex:
         """``quantize=True`` stores items as int8 with per-item scales
         (ops/quantized.py): ~4x less HBM traffic on the retrieval scan at
         <0.5% score error — pair with exact reranking for free accuracy."""
-        self.embeds = jnp.asarray(embeds, jnp.float32)
         self.mesh = mesh
-        self.n, self.dim = self.embeds.shape
+        self._quantize = bool(quantize)
+        if quantize and mesh is not None and mesh.devices.size > 1:
+            # the int8 kernel is single-device; don't pretend otherwise
+            LOGGER.warning(
+                "quantize=True: int8 search runs single-device; the "
+                "%d-device mesh is ignored for search", mesh.devices.size
+            )
+        self._host_embeds = np.asarray(embeds, np.float32)
+        self._rebuild_device_state()
+
+    def _rebuild_device_state(self) -> None:
+        """ONE device-resident copy of the corpus, matching the strategy
+        search() will actually use (int8 store, padded mesh shards, or
+        the plain f32 array) — a second full replica doubled HBM."""
+        self.n, self.dim = self._host_embeds.shape
+        self.embeds = None
         self.quantized = None
-        if quantize:
+        self._padded, self._n_valid = None, self.n
+        if self._quantize:
             from anncur_tpu.ops.quantized import quantize_items
 
-            self.quantized = quantize_items(self.embeds)
-        if mesh is not None and mesh.devices.size > 1:
-            self._padded, self._n_valid = pad_items(self.embeds, mesh.devices.size)
+            self.quantized = quantize_items(jnp.asarray(self._host_embeds))
+        elif self.mesh is not None and self.mesh.devices.size > 1:
+            self._padded, self._n_valid = pad_items(
+                jnp.asarray(self._host_embeds), self.mesh.devices.size
+            )
         else:
-            self._padded, self._n_valid = None, self.n
+            self.embeds = jnp.asarray(self._host_embeds)
 
     def add(self, embeds: np.ndarray) -> None:
         """Append items (FAISS .add parity). Rebuilds device placement
         and, for a quantized index, re-quantizes so searches see the new
         items (scales are per-item, so this is a cheap rebuild)."""
-        self.embeds = jnp.concatenate([self.embeds, jnp.asarray(embeds, jnp.float32)])
-        self.n = self.embeds.shape[0]
-        if self.quantized is not None:
-            from anncur_tpu.ops.quantized import quantize_items
-
-            self.quantized = quantize_items(self.embeds)
-        if self.mesh is not None and self.mesh.devices.size > 1:
-            self._padded, self._n_valid = pad_items(self.embeds, self.mesh.devices.size)
+        self._host_embeds = np.concatenate(
+            [self._host_embeds, np.asarray(embeds, np.float32)]
+        )
+        self._rebuild_device_state()
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """(scores (q, k), indices (q, k)) — exact top-k by inner product."""

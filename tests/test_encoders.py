@@ -354,3 +354,63 @@ def test_spl_tkns_biencoder_tag_only_matches_full():
     sq_lb, _ = bert_encode(params["label_bert"], t2, seg, mask, SPEC, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(q), np.asarray(mention_embed(sq_in, t2)), atol=1e-5)
     np.testing.assert_allclose(np.asarray(l), np.asarray(entity_embed(sq_lb, t2)), atol=1e-5)
+
+
+def test_attention_dropout_active_when_hidden_dropout_zero(rng):
+    """Attention dropout must not be gated on hidden_dropout (rng
+    plumbing used to key off hidden_dropout alone, silently disabling
+    attention dropout for hidden_dropout=0 specs)."""
+    from anncur_tpu.models.bert import bert_encode, init_bert_params
+
+    spec = BertSpec.tiny(hidden_dropout=0.0, attention_dropout=0.5)
+    params = init_bert_params(jax.random.PRNGKey(0), spec)
+    t = toks(rng, 2, 8)
+    seg = jnp.zeros_like(t)
+    mask = (t != 0).astype(jnp.int32)
+    kw = dict(spec=spec, compute_dtype=jnp.float32)
+    out_eval, _ = bert_encode(params, t, seg, mask, **kw)
+    out_train, _ = bert_encode(
+        params, t, seg, mask, dropout_rng=jax.random.PRNGKey(1), dropout=True, **kw
+    )
+    assert not np.allclose(np.asarray(out_eval), np.asarray(out_train)), (
+        "attention_dropout=0.5 had no effect in train mode"
+    )
+    # and eval mode is unaffected by the rng
+    out_eval2, _ = bert_encode(params, t, seg, mask, **kw)
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_eval2))
+
+
+def test_shared_biencoder_single_linear_head(rng):
+    """bi_enc_type='shared' must have ONE projection head (reference
+    shared encoder has a single additional_linear; two leaves would get
+    separate gradients and diverge)."""
+    enc = BiEncoder(spec=SPEC, bi_enc_type="shared", add_linear_layer=True,
+                    embed_dim=16, compute_dtype=jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0))
+    assert "linear" in params and "input_linear" not in params
+    t = toks(rng, 3, 8)
+    a = enc.encode_input(params, t)
+    b = enc.encode_label(params, t)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_to_cross_bert_input_nonzero_null_idx():
+    """segment ids must use the same null test as the mask: with a
+    nonzero null_idx, a legitimate id-0 token in segment 1 used to get
+    segment 0 while still being attended."""
+    t = jnp.asarray([[5, 6, 0, 7, 9, 9]])  # null_idx=9 -> trailing pad
+    tok, seg, mask = to_cross_bert_input(t, first_segment_end=2, null_idx=9)
+    np.testing.assert_array_equal(np.asarray(mask), [[1, 1, 1, 1, 0, 0]])
+    np.testing.assert_array_equal(np.asarray(seg), [[0, 0, 1, 1, 0, 0]])
+
+
+def test_spec_from_hf_config_dropout_and_required():
+    from anncur_tpu.models.hf_loader import spec_from_hf_config
+
+    cfg = dict(vocab_size=100, hidden_size=32, num_hidden_layers=2,
+               num_attention_heads=2, intermediate_size=64,
+               hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.2)
+    spec = spec_from_hf_config(cfg)
+    assert spec.hidden_dropout == 0.0 and spec.attention_dropout == 0.2
+    with pytest.raises(ValueError, match="missing"):
+        spec_from_hf_config({"vocab_size": 100})

@@ -82,3 +82,24 @@ def test_vocab_roundtrip(ours, tmp_path):
     ours.save_vocab(path)
     again = WordPieceTokenizer.from_vocab_file(path)
     assert again.vocab == ours.vocab
+
+
+def test_check_tag_ids_rejects_remapped_vocab():
+    """Encoders read [unused0/1/2] at fixed ids 1/2/3 inside jit; a
+    vocab mapping the tag names elsewhere must be refused up front, not
+    silently read wrong positions."""
+    from anncur_tpu.data.tokenization import get_candidate_representation
+    from anncur_tpu.models.special_tokens import check_tag_ids
+    from anncur_tpu.models.tokenizer import WordPieceTokenizer, make_test_vocab
+
+    good = make_test_vocab()
+    check_tag_ids(good)  # standard layout passes
+
+    bad = dict(good)
+    other = next(t for t in bad if not t.startswith("[") and bad[t] > 3)
+    bad["[unused2]"], bad[other] = bad[other], bad["[unused2]"]
+    with pytest.raises(ValueError, match="special tags"):
+        check_tag_ids(bad)
+    tok = WordPieceTokenizer(bad)
+    with pytest.raises(ValueError, match="special tags"):
+        get_candidate_representation("desc text", tok, 16, candidate_title="title")
