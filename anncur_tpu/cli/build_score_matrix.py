@@ -25,6 +25,18 @@ from anncur_tpu.train.checkpoint import load_pytree
 LOGGER = logging.getLogger("anncur_tpu.build_score_matrix")
 
 
+def _chunk_suffix(args) -> str:
+    """Disambiguate equal-size chunk jobs sharing one --res_dir: without
+    the start offset in the name, job (start=0, n=1000) and job
+    (start=1000, n=1000) wrote the SAME pickle and the slower one
+    silently destroyed the faster one's scores (the reference's {misc}
+    suffix plays this role; we add it automatically for chunk jobs)."""
+    suffix = args.misc
+    if args.n_ment_start > 0 and "start" not in suffix:
+        suffix += f"_start_{args.n_ment_start}"
+    return suffix
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser(description=__doc__)
@@ -42,6 +54,7 @@ def main(argv=None):
     p.add_argument("--ment_block", type=int, default=8)
     p.add_argument("--ent_block", type=int, default=64)
     p.add_argument("--mode", default="scores", choices=["scores", "embeds"])
+    p.add_argument("--misc", default="", help="output filename suffix (reference {misc})")
     p.add_argument("--seed", type=int, default=0)
     # architecture overrides (default: bert-base); small values for smoke runs
     p.add_argument("--hidden_size", type=int, default=768)
@@ -93,7 +106,8 @@ def main(argv=None):
         m_emb, e_emb = builder.paired_embeds(params, ment_toks, ent_toks)
         out = os.path.join(
             args.res_dir,
-            f"ment_and_ent_embeds_n_m_{len(mentions)}_n_e_{len(entities)}_all_layers_False.pkl",
+            f"ment_and_ent_embeds_n_m_{len(mentions)}_n_e_{len(entities)}"
+            f"_all_layers_False{_chunk_suffix(args)}.pkl",
         )
         import pickle
 
@@ -112,7 +126,8 @@ def main(argv=None):
     )
     out = os.path.join(
         args.res_dir,
-        f"ment_to_ent_scores_n_m_{len(mentions)}_n_e_{len(entities)}_all_layers_False.pkl",
+        f"ment_to_ent_scores_n_m_{len(mentions)}_n_e_{len(entities)}"
+        f"_all_layers_False{_chunk_suffix(args)}.pkl",
     )
     save_score_matrix(
         out,

@@ -193,7 +193,7 @@ def main(argv=None):
 
     fin = sys.stdin if args.queries == "-" else open(args.queries)
     fout = sys.stdout if args.out == "-" else open(args.out, "w")
-    with fin, fout:
+    try:
         queries, toks = [], []
         # stdin is interactive: answer line-by-line; files use --batch
         batch = 1 if args.queries == "-" else max(1, args.batch)
@@ -214,6 +214,14 @@ def main(argv=None):
                 flush(queries, toks, fout, batch)
                 queries, toks = [], []
         flush(queries, toks, fout, batch)
+    finally:
+        # never close sys.stdin/sys.stdout: main() is also an in-process
+        # API (tests, drive) and closing the process streams breaks the
+        # host (ValueError: I/O operation on closed file)
+        if fin is not sys.stdin:
+            fin.close()
+        if fout is not sys.stdout:
+            fout.close()
 
 
 def _serve_http(args, retriever, ce, tokenize, answer):
@@ -223,7 +231,12 @@ def _serve_http(args, retriever, ce, tokenize, answer):
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    from anncur_tpu.data.tokenization import get_candidate_representation
+    from anncur_tpu.data.tokenization import get_candidate_representation_ids
+
+    # bound the request-body buffer: 64 MiB comfortably fits the largest
+    # legitimate payload (tens of thousands of queries) while stopping a
+    # bad Content-Length from OOMing the single-TPU serving process
+    MAX_BODY_BYTES = 64 * 1024 * 1024
 
     lock = threading.Lock()
     builder_box = {}
@@ -290,6 +303,16 @@ def _serve_http(args, retriever, ce, tokenize, answer):
                         411, {"error": "chunked Transfer-Encoding unsupported; send Content-Length"}
                     )
                 n = int(self.headers.get("Content-Length", 0))
+                if n < 0:
+                    # read(-n) would block until EOF on a keep-alive
+                    # connection, hanging this handler thread forever
+                    return self._send(400, {"error": "negative Content-Length"})
+                if n > MAX_BODY_BYTES:
+                    # bound the in-RAM buffer: one bad client must not
+                    # OOM the single-TPU serving process
+                    return self._send(
+                        413, {"error": f"body too large ({n} > {MAX_BODY_BYTES} bytes)"}
+                    )
                 req = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 return self._send(400, {"error": f"bad json: {e}"})
@@ -321,14 +344,16 @@ def _serve_http(args, retriever, ce, tokenize, answer):
                     items = req.get("items", [])
                     if not items:
                         return self._send(400, {"error": "no items"})
+                    # id-level fast path (native C++ tokenizer capable),
+                    # same ids as the token-level builder (tested parity)
                     toks = np.asarray(
                         [
-                            get_candidate_representation(
+                            get_candidate_representation_ids(
                                 it.get("description", ""),
                                 retriever.tokenizer,
                                 max_item_len,
                                 candidate_title=it.get("title"),
-                            )["ids"]
+                            )
                             for it in items
                         ],
                         np.int32,

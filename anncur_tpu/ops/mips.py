@@ -15,6 +15,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
@@ -23,7 +24,10 @@ from jax import shard_map
 # (eval/run_retrieval_eval_wrt_exact_crossenc.py:110); we keep the same
 # semantics ("never selected by top-k over real scores") with a value that
 # is safely representable in float32.
-NEG_INF = jnp.float32(-1e30)
+# numpy, NOT jnp: a module-level jnp scalar would initialize the device
+# backend at IMPORT time — with the remote TPU tunnel down, every CLI
+# importing anncur_tpu.ops hung for the backend timeout before argparse
+NEG_INF = np.float32(-1e30)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

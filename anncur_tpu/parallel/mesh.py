@@ -67,32 +67,6 @@ def require_accelerator(tracker=None, allow_cpu_env: str = "ANNCUR_ALLOW_CPU"):
     return platform
 
 
-def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
-    """Multi-host init: extends the mesh over DCN. Thin wrapper over
-    jax.distributed.initialize (auto-detects on Cloud TPU pods when
-    called with no args). Call before any jax op; then make_mesh over
-    jax.devices() spans all hosts."""
-    kwargs = {}
-    if coordinator_address is not None:
-        kwargs = dict(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    jax.distributed.initialize(**kwargs)
-    return jax.process_index(), jax.process_count()
-
-
-def pad_to_multiple(x, multiple: int, axis: int = 0, fill=0):
-    """Host-side pad so dim ``axis`` is divisible by ``multiple``.
-
-    Returns (padded, original_size). Static shapes are mandatory under jit;
-    ragged per-world item counts become pad+mask (SURVEY §7 'hard parts').
-    """
-    n = x.shape[axis]
-    rem = (-n) % multiple
-    if rem == 0:
-        return x, n
-    pad_widths = [(0, 0)] * x.ndim
-    pad_widths[axis] = (0, rem)
-    return np.pad(np.asarray(x), pad_widths, constant_values=fill), n
+# Multi-host initialization lives in parallel/multihost.py (the real,
+# tested DCN path: jax.distributed.initialize + global_mesh). Dead
+# wrappers that duplicated it here were removed — one entry point only.

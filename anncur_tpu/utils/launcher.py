@@ -16,15 +16,27 @@ commands are generated from the real CLI module names.
 from __future__ import annotations
 
 import itertools
+import json
 import logging
 import os
 import shlex
 import subprocess
+import sys
 from typing import Dict, Iterable, List, Optional, Sequence
 
 LOGGER = logging.getLogger(__name__)
 
-PYTHON = "python"
+# the launcher's own interpreter, not whatever `python` resolves to on
+# PATH (a different venv/system python breaks every generated job)
+PYTHON = shlex.quote(sys.executable or "python")
+
+
+def _fmt_value(v) -> str:
+    # dict-typed Config fields parse with json.loads: repr() would emit
+    # single quotes that json rejects, killing every job at argparse time
+    if isinstance(v, (dict, bool)):
+        return shlex.quote(json.dumps(v))
+    return shlex.quote(str(v))
 
 
 def _fmt_overrides(overrides: Dict) -> str:
@@ -33,9 +45,9 @@ def _fmt_overrides(overrides: Dict) -> str:
         if isinstance(v, (list, tuple)):
             # quote each element: values with spaces/metacharacters would
             # otherwise split into extra args (or execute) under shell=True
-            parts.append(f"--{k} " + " ".join(shlex.quote(str(x)) for x in v))
+            parts.append(f"--{k} " + " ".join(_fmt_value(x) for x in v))
         else:
-            parts.append(f"--{k} {shlex.quote(str(v))}")
+            parts.append(f"--{k} {_fmt_value(v)}")
     return " ".join(parts)
 
 
@@ -77,6 +89,16 @@ def make_eval_jobs(
         overrides = dict(zip(keys, combo))
         score_matrix = score_matrix_template.format(**overrides)
         res_dir = res_dir_template.format(**overrides)
+        if (
+            mode != "inductive"
+            and "method" in overrides
+            and "{method}" not in res_dir_template
+        ):
+            # run_transductive_eval writes ONE fixed-name json per
+            # res_dir: method-gridded jobs sharing a dir clobbered each
+            # other, and skip-done mis-skipped every method after the
+            # first — give each method its own subdir
+            res_dir = os.path.join(res_dir, f"method={overrides['method']}")
         probe = os.path.join(
             res_dir, f"method={overrides.get('method', 'cur')}_s={overrides.get('seed', 0)}", "res.json"
         ) if mode == "inductive" else os.path.join(res_dir, "retrieval_wrt_exact_crossenc.json")
@@ -110,13 +132,20 @@ def launch(jobs: Iterable[Dict], backend: str = "print", skip_done: bool = True)
             continue
         if backend == "print":
             print(job["cmd"])
-        elif backend == "local":
-            LOGGER.info("running: %s", job["cmd"])
-            subprocess.run(job["cmd"], shell=True, check=True)
         else:
-            full = backend.format(cmd=job["cmd"])
-            LOGGER.info("submitting: %s", full)
-            subprocess.run(full, shell=True, check=True)
+            cmd = job["cmd"] if backend == "local" else backend.format(cmd=job["cmd"])
+            LOGGER.info("running: %s", cmd)
+            # grid jobs are independent: one failure must not abort the
+            # remaining jobs of an unattended overnight sweep
+            rc = subprocess.run(cmd, shell=True).returncode
+            if rc != 0:
+                job["failed"] = True
+                LOGGER.error("job failed (rc=%d): %s", rc, cmd)
+                continue
         launched.append(job)
-    LOGGER.info("%d launched, %d skipped", len(launched), len(jobs) - len(launched))
+    failed = sum(1 for j in jobs if j.get("failed"))
+    LOGGER.info(
+        "%d launched, %d skipped, %d failed",
+        len(launched), len(jobs) - len(launched) - failed, failed,
+    )
     return launched

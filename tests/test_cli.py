@@ -56,8 +56,10 @@ def test_full_cli_pipeline(world_dir, tmp_path):
              "--ment_block", "4", "--ent_block", "8",
              "--hidden_size", "32", "--num_layers", "1", "--num_heads", "2", "--intermediate_size", "64"]
         )
+    # chunk jobs embed their start offset in the filename (equal-size
+    # chunks sharing one --res_dir used to overwrite each other)
     p1 = os.path.join(sm_dir, "part0", "ment_to_ent_scores_n_m_12_n_e_40_all_layers_False.pkl")
-    p2 = os.path.join(sm_dir, "part12", "ment_to_ent_scores_n_m_12_n_e_40_all_layers_False.pkl")
+    p2 = os.path.join(sm_dir, "part12", "ment_to_ent_scores_n_m_12_n_e_40_all_layers_False_start_12.pkl")
     assert os.path.exists(p1) and os.path.exists(p2)
 
     # 3. combine chunks
