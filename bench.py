@@ -186,6 +186,7 @@ def main():
         t0 = time.time()
         retriever.query_tokens_batch(qtoks, top_k=10, top_k_retvr=k_retvr)
         qps = max(qps, n_q / (time.time() - t0))
+    qps /= n_dev  # the unit string claims per-chip; the mesh spans n_dev
     print(
         json.dumps(
             {
@@ -212,12 +213,38 @@ def main():
         if os.path.exists(amr_path):
             with open(amr_path) as f:
                 amr = json.load(f)
-            if amr.get("headline_matched_budget"):
+            if amr.get("quick"):
+                # a --quick (CI smoke) artifact carries no real matched-
+                # recall evidence; refusing it keeps line 3 honest
+                print("# ignoring quick-mode adaptive_matched_recall.json", file=sys.stderr)
+            elif amr.get("headline_matched_budget"):
                 budget = int(amr["headline_matched_budget"])
                 scenario = str(amr.get("headline_scenario"))
-                method = method or amr.get("headline_method", "cur")
                 axn_rank = amr.get("headline_axn_rank")
                 n_rounds = n_rounds or int(amr.get("headline_n_rounds", 3))
+                if method and method != amr.get("headline_method", "cur"):
+                    # BENCH_ADA_METHOD override: use THAT method's own
+                    # matched-budget evidence, not the headline method's
+                    # (AXN needs ~2x the CUR-ridge budget; running it at
+                    # the CUR budget would fabricate the recall claim)
+                    variants = [
+                        v for v in amr["scenarios"].get(scenario, {}).values()
+                        if v.get("method") == method and v.get("matched_budget")
+                    ]
+                    if variants:
+                        best = min(variants, key=lambda v: v["matched_budget"])
+                        budget = int(best["matched_budget"])
+                        n_rounds = int(best["n_rounds"])
+                        axn_rank = best.get("axn_rank")
+                    else:
+                        print(
+                            f"# no matched-budget evidence for method={method}; "
+                            "line 3 runs it at the default budget without a "
+                            "matched-recall claim", file=sys.stderr,
+                        )
+                        scenario = "no-evidence"
+                else:
+                    method = method or amr.get("headline_method", "cur")
     method = method or "cur"
     n_rounds = n_rounds or 3
     # adaptive throughput grows with the query batch (narrow per-round
@@ -229,8 +256,12 @@ def main():
     # only 1% for 2x the batch latency.
     ada_q = int(os.environ.get("BENCH_ADA_BATCH", "512"))
     ada_toks = rng.integers(1, spec.vocab_size, size=(ada_q, lm)).astype(np.int32)
+    # device-resident ONCE: host numpy here would re-upload the ~20 MB
+    # train matrix through the tunnel on every timed dispatch (the same
+    # bias bench_serving_latency.py documents and avoids)
     ada_kw = dict(
-        total_budget=budget, n_rounds=n_rounds, top_k=10, train_scores=train_scores,
+        total_budget=budget, n_rounds=n_rounds, top_k=10,
+        train_scores=jnp.asarray(train_scores, jnp.float32),
         method=method, axn_rank=axn_rank,
     )
     retriever.query_tokens_adaptive_fused(ada_toks, **ada_kw)  # compile + warmup
@@ -239,6 +270,7 @@ def main():
         t0 = time.time()
         retriever.query_tokens_adaptive_fused(ada_toks, **ada_kw)
         aqps = max(aqps, ada_q / (time.time() - t0))
+    aqps /= n_dev  # per-chip, like the unit string says
     print(
         json.dumps(
             {

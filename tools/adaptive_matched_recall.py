@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks", "adaptive_matched_recall.json"))
     args = ap.parse_args()
 
+    if args.quick and "adaptive_matched_recall.json" in os.path.basename(args.out):
+        # never let the CI smoke clobber the REAL evidence bench.py
+        # reads for its matched-recall line
+        args.out = args.out.replace(".json", "_quick.json")
+
     if args.quick:
         n_q, n_train, n_items = 16, 80, 1000
         budgets = (30, 60, 120, 240)
@@ -65,6 +70,9 @@ def main():
         ranks = (50, 150, 400)
 
     out = {
+        # bench.py refuses quick-mode artifacts (toy shapes carry no
+        # matched-recall evidence at the real scale)
+        "quick": bool(args.quick),
         "shape": {"n_q": n_q, "n_train": n_train, "n_items": n_items},
         "fixed": {"n_anchors": fixed_anc, "top_k_retvr": fixed_retvr},
         "scenarios": {},

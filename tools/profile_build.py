@@ -226,7 +226,13 @@ def main():
 
     # XLA's own cost model for the full step (LAST: may hang on remote
     # backends — the attribution above is already printed)
-    if not args.no_cost_analysis:
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if not args.no_cost_analysis and not on_cpu:
+        # hangs indefinitely on the axon remote backend (CLAUDE.md) and
+        # a hang is uncatchable — auto-skip off-CPU; --no-cost-analysis
+        # documents the same for explicit control
+        print(json.dumps({"stage": "cost_analysis_skipped", "reason": "non-cpu backend"}), flush=True)
+    elif not args.no_cost_analysis:
         try:
             print(json.dumps({"stage": "cost_analysis_start"}), flush=True)
             lowered = score.lower(params, jnp.asarray(pairs))
