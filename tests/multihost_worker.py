@@ -98,7 +98,47 @@ if pid == 0:
 else:
     assert scores is None
 
+# ---- 3. checkpoint (process-0-only) + multi-host resume placement ----- #
+# the exact restore sequence Trainer.train(resume=True) runs: host
+# leaves from load_pytree -> _place_like re-replicates over the global
+# mesh (host-numpy leaves used to crash the first resumed step)
+import dataclasses
+
+from anncur_tpu.train.checkpoint import load_pytree
+
+if pid == 0:
+    trainer._ckpt.save_end_of_epoch(
+        {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": int(state.step),
+            "rng": state.rng,
+        },
+        0,
+        int(state.step),
+    )
+barrier("ckpt_saved")
+last = trainer._ckpt.latest_eoe()
+assert last is not None, "process could not see the shared checkpoint"
+tree, _ = load_pytree(last["path"])
+fresh = trainer.init_state()
+restored = dataclasses.replace(
+    fresh,
+    params=tree["params"],
+    opt_state=tree["opt_state"],
+    step=jnp.asarray(tree["step"], jnp.int32),
+    rng=tree.get("rng", fresh.rng),
+)
+placed = trainer._place_like(fresh, restored)
+f_leaf = jax.tree_util.tree_leaves(fresh.params)[0]
+p_leaf = jax.tree_util.tree_leaves(placed.params)[0]
+assert p_leaf.sharding.is_equivalent_to(f_leaf.sharding, p_leaf.ndim), (
+    p_leaf.sharding, f_leaf.sharding,
+)
+placed, m2 = step(placed, sharded)  # first resumed step on a global batch
+resume_loss = float(m2["loss"])
+
 with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
-    json.dump({"loss": loss, "checksum": checksum}, f)
+    json.dump({"loss": loss, "checksum": checksum, "resume_loss": resume_loss}, f)
 barrier("test_done")
 print(f"worker {pid} OK loss={loss}")

@@ -76,6 +76,9 @@ def test_two_process_results_agree(multihost_run):
     # SPMD: every process observes the same replicated loss and params
     assert np.isclose(res[0]["loss"], res[1]["loss"], rtol=1e-6)
     assert np.isclose(res[0]["checksum"], res[1]["checksum"], rtol=1e-6)
+    # resume leg: process-0 checkpoint restored on BOTH processes via
+    # _place_like (replicate_from_host), then one more global-mesh step
+    assert np.isclose(res[0]["resume_loss"], res[1]["resume_loss"], rtol=1e-6)
 
 
 def test_train_step_matches_single_process(multihost_run, mesh8, tmp_path):
