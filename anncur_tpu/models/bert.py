@@ -185,6 +185,15 @@ def _ss_tag(t):
     return checkpoint_name(t, "attn_ss")
 
 
+def _dropout(x, rng, rate):
+    """Inverted dropout; identity when rng is None or rate is 0. The
+    O(seq^2) attention-prob sites keep their own _ss_tag'd copies."""
+    if rng is None or not rate:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
 def _attn_core(q, k, v, mask_bias, dropout_rng, dtype, dropout_rate, spelling):
     """scores -> softmax -> dropout -> context, for the plain-matmul
     spellings. Kept as a standalone function so remat='attn' can
@@ -317,23 +326,16 @@ def _encoder_layer_select_only(
     scores = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(hd) + mask_bias  # (b, nh, g, s)
     probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-    if attn_rng is not None and spec.attention_dropout:
-        rate = spec.attention_dropout
-        keep = jax.random.bernoulli(attn_rng, 1.0 - rate, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    probs = _dropout(probs, attn_rng, spec.attention_dropout)
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v, preferred_element_type=dtype)
     a = _dense(ctx.astype(dtype).reshape(b, g, h), p["out_kernel"], p["out_bias"], dtype)
-    if hid_rng1 is not None and dropout_rate:
-        keep = jax.random.bernoulli(hid_rng1, 1.0 - dropout_rate, a.shape)
-        a = jnp.where(keep, a / (1.0 - dropout_rate), 0.0)
+    a = _dropout(a, hid_rng1, dropout_rate)
     x0 = _layer_norm(x_sel + a, p["ln_scale"], p["ln_bias"], spec.layer_norm_eps)
     mp = layer_params["mlp"]
     m = _dense(x0, mp["in_kernel"], mp["in_bias"], dtype)
     m = _gelu(m, spec.gelu_approximate)
     m = _dense(m, mp["out_kernel"], mp["out_bias"], dtype)
-    if hid_rng2 is not None and dropout_rate:
-        keep = jax.random.bernoulli(hid_rng2, 1.0 - dropout_rate, m.shape)
-        m = jnp.where(keep, m / (1.0 - dropout_rate), 0.0)
+    m = _dropout(m, hid_rng2, dropout_rate)
     return _layer_norm(x0 + m, mp["ln_scale"], mp["ln_bias"], spec.layer_norm_eps)
 
 
@@ -342,17 +344,13 @@ def _encoder_layer(x, mask_bias, layer_params, spec, dtype, rngs, dropout_rate, 
     # attention dropout is its own rate: gate on the rng (train mode),
     # not on the hidden rate
     a = _attention(x, mask_bias, layer_params["attn"], spec, dtype, attn_rng, spec.attention_dropout if rngs is not None else 0.0, attn_remat=attn_remat)
-    if hid_rng1 is not None and dropout_rate:
-        keep = jax.random.bernoulli(hid_rng1, 1.0 - dropout_rate, a.shape)
-        a = jnp.where(keep, a / (1.0 - dropout_rate), 0.0)
+    a = _dropout(a, hid_rng1, dropout_rate)
     x = _layer_norm(x + a, layer_params["attn"]["ln_scale"], layer_params["attn"]["ln_bias"], spec.layer_norm_eps)
 
     m = _dense(x, layer_params["mlp"]["in_kernel"], layer_params["mlp"]["in_bias"], dtype)
     m = _gelu(m, spec.gelu_approximate)
     m = _dense(m, layer_params["mlp"]["out_kernel"], layer_params["mlp"]["out_bias"], dtype)
-    if hid_rng2 is not None and dropout_rate:
-        keep = jax.random.bernoulli(hid_rng2, 1.0 - dropout_rate, m.shape)
-        m = jnp.where(keep, m / (1.0 - dropout_rate), 0.0)
+    m = _dropout(m, hid_rng2, dropout_rate)
     x = _layer_norm(x + m, layer_params["mlp"]["ln_scale"], layer_params["mlp"]["ln_bias"], spec.layer_norm_eps)
     return x
 
@@ -399,8 +397,7 @@ def bert_encode(
     rate = spec.hidden_dropout if want_dropout else 0.0
     if rate:
         drop_key, dropout_rng = jax.random.split(dropout_rng)
-        keep = jax.random.bernoulli(drop_key, 1.0 - rate, x.shape)
-        x = jnp.where(keep, x / (1.0 - rate), 0.0)
+        x = _dropout(x, drop_key, rate)
 
     # additive attention bias: 0 where attend, large negative where masked
     mask_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)

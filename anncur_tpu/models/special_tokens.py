@@ -22,6 +22,14 @@ def check_tag_ids(vocab) -> None:
     the representation builders insert the tags by NAME lookup. A vocab
     that maps the tag names to other ids would make w_embeds/spl_tkns
     read the wrong positions with no error — refuse it up front."""
+    # allocation-free fast path: this runs once per tokenized entity
+    # (100k-item corpora), so the OK case is three lookups + compares
+    if (
+        vocab.get(ENT_START_TAG) in (None, ENT_START_ID)
+        and vocab.get(ENT_END_TAG) in (None, ENT_END_ID)
+        and vocab.get(ENT_TITLE_TAG) in (None, ENT_TITLE_ID)
+    ):
+        return
     want = {ENT_START_TAG: ENT_START_ID, ENT_END_TAG: ENT_END_ID,
             ENT_TITLE_TAG: ENT_TITLE_ID}
     got = {t: vocab.get(t) for t in want}
