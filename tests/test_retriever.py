@@ -296,3 +296,64 @@ def test_retriever_rejects_cols_preference_index():
             index=idx,
             anchor_item_ids=np.arange(8),
         )
+
+
+def test_dynamic_corpus_random_walk_matches_rebuild(mesh8):
+    """Stateful fuzz of the dynamic-corpus path: a random interleaving
+    of add_items / remove_items (duplicates included) must leave the
+    retriever equivalent to a retriever built directly over the
+    surviving corpus with the same anchors — queries return the same
+    external ids with the true CE scores at every step."""
+    ment, ent, gt, tok = make_tokenized_world(
+        seed=21, n_ents=56, n_ments=14, max_ment_len=16, max_ent_len=16
+    )
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, max_position_embeddings=64)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(7))
+    builder = ScoreMatrixBuilder(ce, mesh8, ment_block=4, ent_block=8, pair_pad_multiple=32)
+
+    n0 = 32  # ids n0.. arrive dynamically
+    retr = CurRetriever.build(
+        ce, params, tok, ment[:8], ent[:n0], n_anchor_items=8,
+        builder=builder, max_query_len=16, seed=11,
+    )
+    anchors_ext = set(int(retr.item_ids[p]) for p in retr.anchor_item_ids)
+    # model state: external id -> row of `ent` (ids n0+ map in arrival order)
+    live = {i: i for i in range(n0)}
+    next_row = n0
+
+    rng = np.random.default_rng(5)
+    full_scores = np.asarray(builder(params, ment[8:], ent))  # oracle (all 56)
+    for step in range(6):
+        removable = [e for e in live if e not in anchors_ext]
+        if step % 2 == 0 and next_row < ent.shape[0]:
+            k = int(rng.integers(1, min(4, ent.shape[0] - next_row) + 1))
+            new_ids = retr.add_items(ent[next_row : next_row + k], builder)
+            for j, ext in enumerate(new_ids):
+                live[int(ext)] = next_row + j
+            next_row += k
+        else:
+            k = int(rng.integers(1, 4))
+            picks = list(rng.choice(removable, size=min(k, len(removable)), replace=False))
+            picks = picks + picks[:1]  # exercise duplicate collapse
+            removed = retr.remove_items(np.asarray(picks, np.int64))
+            assert removed == len(set(picks))
+            for e in set(picks):
+                live.pop(int(e))
+
+        # invariant: corpus size and id mapping
+        assert retr.item_tokens.shape[0] == len(live)
+        assert set(int(i) for i in retr.item_ids) == set(live)
+        # anchors still address their original tokens
+        for p, ext in zip(retr.anchor_item_ids, (int(retr.item_ids[p]) for p in retr.anchor_item_ids)):
+            np.testing.assert_array_equal(retr.item_tokens[p], ent[live[ext]])
+
+        # queries: scores must be the TRUE CE scores of the returned items
+        s, ids = retr.query_tokens_batch(ment[8:12], top_k=3, top_k_retvr=12)
+        for qi in range(4):
+            for rank in range(3):
+                ext = int(ids[qi, rank])
+                assert ext in live, f"returned dead id {ext}"
+                np.testing.assert_allclose(
+                    s[qi, rank], full_scores[qi, live[ext]], rtol=1e-4, atol=1e-4
+                )
