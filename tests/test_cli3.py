@@ -482,3 +482,110 @@ def test_serve_cli_http_mode(tmp_path, mesh8):
         server.shutdown()
         t.join(timeout=30)
     assert not t.is_alive()
+
+
+def test_serve_http_concurrent_clients(tmp_path, mesh8):
+    """The threaded HTTP server serializes device work per batch slice;
+    N concurrent clients (queries + healthz interleaved) must all get
+    correct answers — no dropped sockets, no cross-request bleed."""
+    import json as _json
+    import threading
+    import time as _time
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anncur_tpu.cli import serve
+    from anncur_tpu.core.retriever import CurRetriever
+    from anncur_tpu.data.synthetic import make_tokenized_world
+    from anncur_tpu.indexer.score_matrix import ScoreMatrixBuilder
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.crossencoder import CrossEncoder
+    from anncur_tpu.train.checkpoint import save_pytree
+
+    ment, ent, gt, tok = make_tokenized_world(seed=17, n_ents=16, n_ments=8,
+                                              max_ment_len=16, max_ent_len=16)
+    vocab = str(tmp_path / "vocab.txt")
+    tok.save_vocab(vocab)
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1,
+                         num_heads=2, intermediate_size=64)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(6))
+    ckpt = str(tmp_path / "ce.pkl")
+    save_pytree(ckpt, {"params": params})
+    builder = ScoreMatrixBuilder(ce, mesh8, ment_block=2, ent_block=4,
+                                 pair_pad_multiple=32)
+    retr = CurRetriever.build(
+        encoder=ce, params=params, tokenizer=tok,
+        train_query_tokens=np.asarray(ment[:4]), item_tokens=np.asarray(ent),
+        n_anchor_items=4, builder=builder, max_query_len=16,
+    )
+    state = str(tmp_path / "retr_state.pkl")
+    retr.save(state)
+
+    argv = ["--index", state, "--vocab_file", vocab, "--crossenc_ckpt", ckpt,
+            "--http", "127.0.0.1:0", "--top_k", "2", "--top_k_retvr", "6",
+            "--batch", "2", "--max_query_len", "16",
+            "--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
+            "--intermediate_size", "64"]
+    t = threading.Thread(target=serve.main, args=(argv,), daemon=True)
+    t.start()
+    deadline = _time.time() + 60
+    server = None
+    while _time.time() < deadline and server is None:
+        server = getattr(serve._serve_http, "last_server", None)
+        _time.sleep(0.05)
+    assert server is not None
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+
+    def call(path, payload=None):
+        req = urllib.request.Request(
+            base + path,
+            data=None if payload is None else _json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="GET" if payload is None else "POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, _json.loads(resp.read())
+
+    try:
+        # warm the steady program once, and capture the expected answer
+        # per distinct mention
+        mentions = [f"alpha {i}" for i in range(4)]
+        expect = {}
+        for m in mentions:
+            code, out = call("/query", {"mention": m})
+            assert code == 200
+            expect[m] = out["results"][0]["results"]
+
+        errors, lock = [], threading.Lock()
+
+        def client(mention, reps):
+            try:
+                for _ in range(reps):
+                    code, out = call("/query", {"queries": [{"mention": mention}] * 3})
+                    assert code == 200 and len(out["results"]) == 3
+                    for row in out["results"]:
+                        assert row["results"] == expect[mention], (
+                            mention, row["results"], expect[mention])
+                    code, health = call("/healthz")
+                    assert code == 200 and health["n_items"] == 16
+            except Exception as e:  # noqa: BLE001 — collected for the main thread
+                with lock:
+                    errors.append(f"{mention}: {e!r}")
+
+        threads = [
+            threading.Thread(target=client, args=(m, 3))
+            for m in mentions + mentions  # two clients per mention
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not errors, errors
+    finally:
+        server.shutdown()
+        t.join(timeout=30)
+    assert not t.is_alive()
