@@ -397,6 +397,9 @@ def test_serve_cli_http_mode(tmp_path, mesh8):
             "--batch", "2", "--max_query_len", "16",
             "--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
             "--intermediate_size", "64"]
+    # Clear any stale (shut-down) server left by an earlier HTTP test, else
+    # the poll below can grab it and hit "Connection refused".
+    serve._serve_http.last_server = None
     t = threading.Thread(target=serve.main, args=(argv,), daemon=True)
     t.start()
     deadline = _time.time() + 60
@@ -530,6 +533,7 @@ def test_serve_http_concurrent_clients(tmp_path, mesh8):
             "--batch", "2", "--max_query_len", "16",
             "--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
             "--intermediate_size", "64"]
+    serve._serve_http.last_server = None  # stale-server guard, as above
     t = threading.Thread(target=serve.main, args=(argv,), daemon=True)
     t.start()
     deadline = _time.time() + 60
