@@ -14,7 +14,11 @@ Two serving modes (--mode):
              way for MXU efficiency.
 
 With --http HOST:PORT the same engine serves over HTTP (stdlib-only,
-one TPU dispatch at a time behind a lock):
+one TPU dispatch at a time behind a lock). /query traffic is
+dynamically batched: a coalescer worker gathers queries ACROSS
+concurrent requests into shared fixed-shape device batches (see
+Coalescer), so N small clients cost ~N/batch dispatches instead of N;
+--coalesce_ms bounds the extra fill-wait latency (default 0):
 - GET  /healthz            -> {"status", "n_items", "mode", ...}
 - POST /query              -> {"queries": [{"mention", "context_left",
                               "context_right"}, ...]} (or one bare
@@ -48,6 +52,120 @@ from anncur_tpu.train.checkpoint import load_pytree
 LOGGER = logging.getLogger("anncur_tpu.serve")
 
 
+class _Pending:
+    """Per-request result slot set: filled by the coalescer worker as
+    each device dispatch containing this request's queries completes."""
+
+    def __init__(self, n):
+        import threading
+
+        self.rows = [None] * n
+        self.remaining = n
+        self.done = threading.Event()
+        self.error = None
+
+    def set(self, slot, row):
+        self.rows[slot] = row
+        self.remaining -= 1  # worker-thread only; no lock needed
+        if self.remaining == 0:
+            self.done.set()
+
+    def fail(self, exc):
+        self.error = exc
+        self.done.set()
+
+
+class Coalescer:
+    """Cross-request dynamic micro-batching for the HTTP front-end.
+
+    The TPU answers queries in fixed-shape batches (a new shape = a new
+    compiled program), so a lone query is padded to ``batch`` rows and
+    pays the full dispatch anyway — N concurrent single-query clients
+    would pay N full dispatches where one suffices. This worker gathers
+    queries ACROSS requests into shared device batches: each dispatch
+    answers up to ``batch`` real queries instead of one, multiplying
+    useful throughput by up to the batch size under concurrency (the
+    standard dynamic-batching pattern of production model servers; the
+    reference serves nothing — this is TPU-serving-specific).
+
+    ``window_s`` bounds the extra latency: after the first query
+    arrives the worker waits at most this long for the batch to fill
+    (0 = dispatch whatever is queued immediately — coalescing then
+    still happens under backlog, since queries queue while the device
+    is busy). Memory is bounded by the callers: submit() blocks the
+    request thread until its rows are filled, so the queue never holds
+    more than the live HTTP threads' queries.
+    """
+
+    def __init__(self, dispatch, batch, window_s, device_lock):
+        import threading
+
+        self._dispatch = dispatch  # (queries, toks) -> rows, len <= batch
+        self.batch = int(batch)
+        self.window_s = float(window_s)
+        self._device_lock = device_lock
+        self._cond = threading.Condition()
+        self._buf = []  # (query, tok, pending, slot)
+        self._stop = False
+        self.n_dispatches = 0
+        self.n_queries = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, queries, toks):
+        """Enqueue a whole request (any length) and block until every
+        one of its queries is answered; returns rows in request order."""
+        pending = _Pending(len(queries))
+        with self._cond:
+            if self._stop:
+                raise RuntimeError("server shutting down")
+            self._buf.extend(
+                (q, t, pending, i) for i, (q, t) in enumerate(zip(queries, toks))
+            )
+            self._cond.notify_all()
+        # no timeout: the worker always fills or fails every slot (its
+        # dispatch call is wrapped); clients bound their own wait
+        pending.done.wait()
+        if pending.error is not None:
+            raise pending.error
+        return pending.rows
+
+    def stop(self):
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        self._worker.join(timeout=30)
+
+    def _run(self):
+        import time
+
+        while True:
+            with self._cond:
+                while not self._buf and not self._stop:
+                    self._cond.wait()
+                if self._stop and not self._buf:
+                    return
+                if self.window_s > 0:
+                    deadline = time.monotonic() + self.window_s
+                    while len(self._buf) < self.batch and not self._stop:
+                        left = deadline - time.monotonic()
+                        if left <= 0:
+                            break
+                        self._cond.wait(timeout=left)
+                take, self._buf = self._buf[: self.batch], self._buf[self.batch :]
+                self.n_dispatches += 1
+                self.n_queries += len(take)
+            try:
+                with self._device_lock:
+                    rows = self._dispatch([q for q, _, _, _ in take],
+                                          [t for _, t, _, _ in take])
+                for (_, _, pending, slot), row in zip(take, rows):
+                    pending.set(slot, row)
+            except Exception as e:  # noqa: BLE001 — propagate to the waiters
+                for _, _, pending, _ in take:
+                    pending.fail(e)
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser(description=__doc__)
@@ -74,6 +192,13 @@ def main(argv=None):
                    help="queries per device dispatch (both modes); 32 favors "
                    "latency — adaptive throughput peaks near 512 "
                    "(measured 11.4 -> 20.3 q/s going 32 -> 512 on v5e)")
+    p.add_argument("--coalesce_ms", type=float, default=0.0,
+                   help="HTTP mode: wait up to this long for concurrent "
+                   "requests' queries to fill a shared device batch "
+                   "(dynamic batching). 0 keeps single-request latency but "
+                   "still coalesces whatever queued while the device was "
+                   "busy; a few ms multiplies throughput under many small "
+                   "concurrent clients")
     p.add_argument("--max_query_len", type=int, default=None,
                    help="default: the state file's saved value, else 128")
     p.add_argument("--seed", type=int, default=0)
@@ -239,6 +364,15 @@ def _serve_http(args, retriever, ce, tokenize, answer):
     MAX_BODY_BYTES = 64 * 1024 * 1024
 
     lock = threading.Lock()
+    # every /query flows through the coalescer: one worker drains a
+    # shared queue in --batch slices, so queries from DIFFERENT requests
+    # ride the same device dispatch (see Coalescer docstring)
+    coalescer = Coalescer(
+        dispatch=lambda qs, toks: answer(qs, toks, args.batch),
+        batch=max(1, args.batch),
+        window_s=max(0.0, args.coalesce_ms) / 1e3,
+        device_lock=lock,
+    )
     builder_box = {}
 
     def get_builder():
@@ -290,6 +424,12 @@ def _serve_http(args, retriever, ce, tokenize, answer):
                         + min(args.top_k_retvr, n_items)
                     ),
                     "batch": args.batch,
+                    "coalesce_ms": args.coalesce_ms,
+                    # dynamic-batching observability: dispatches <
+                    # queries_answered means cross-request coalescing is
+                    # actually saving device programs
+                    "dispatches": coalescer.n_dispatches,
+                    "queries_answered": coalescer.n_queries,
                 },
             )
 
@@ -321,24 +461,16 @@ def _serve_http(args, retriever, ce, tokenize, answer):
                     queries = req.get("queries", [req] if "mention" in req else [])
                     if not queries:
                         return self._send(400, {"error": "no queries"})
-                    # tokenize (pure host-side CPU work) BEFORE taking the
-                    # dispatch lock so concurrent requests only serialize
+                    # tokenize (pure host-side CPU work) BEFORE entering
+                    # the coalescer so concurrent requests only serialize
                     # on the TPU, not on WordPiece
-                    chunks = [
-                        (c, [tokenize(q) for q in c])
-                        for c in (
-                            queries[i : i + args.batch]
-                            for i in range(0, len(queries), args.batch)
-                        )
-                    ]
-                    rows = []
-                    # answer in --batch slices so arbitrary request
-                    # sizes reuse the steady compiled program; take the
-                    # dispatch lock PER slice so one huge request can't
-                    # starve concurrent small ones for its whole run
-                    for chunk, toks in chunks:
-                        with lock:
-                            rows.extend(answer(chunk, toks, args.batch))
+                    toks = [tokenize(q) for q in queries]
+                    # the coalescer drains the shared queue in --batch
+                    # slices: arbitrary request sizes reuse the steady
+                    # compiled program, one huge request can't starve
+                    # concurrent small ones (fair at batch granularity),
+                    # and queries from different requests share dispatches
+                    rows = coalescer.submit(queries, toks)
                     return self._send(200, {"results": rows})
                 if self.path == "/add":
                     items = req.get("items", [])
@@ -406,6 +538,7 @@ def _serve_http(args, retriever, ce, tokenize, answer):
         pass
     finally:
         server.server_close()
+        coalescer.stop()
     return server
 
 

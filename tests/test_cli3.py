@@ -593,3 +593,115 @@ def test_serve_http_concurrent_clients(tmp_path, mesh8):
         server.shutdown()
         t.join(timeout=30)
     assert not t.is_alive()
+
+
+def test_serve_http_coalesces_concurrent_queries(tmp_path, mesh8):
+    """Dynamic batching: single-query requests fired concurrently must
+    share device dispatches (healthz dispatches < queries_answered),
+    with every client still getting its own exact answer."""
+    import json as _json
+    import threading
+    import time as _time
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anncur_tpu.cli import serve
+    from anncur_tpu.core.retriever import CurRetriever
+    from anncur_tpu.data.synthetic import make_tokenized_world
+    from anncur_tpu.indexer.score_matrix import ScoreMatrixBuilder
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.crossencoder import CrossEncoder
+    from anncur_tpu.train.checkpoint import save_pytree
+
+    ment, ent, gt, tok = make_tokenized_world(seed=23, n_ents=16, n_ments=8,
+                                              max_ment_len=16, max_ent_len=16)
+    vocab = str(tmp_path / "vocab.txt")
+    tok.save_vocab(vocab)
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, hidden_size=32, num_layers=1,
+                         num_heads=2, intermediate_size=64)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(9))
+    ckpt = str(tmp_path / "ce.pkl")
+    save_pytree(ckpt, {"params": params})
+    builder = ScoreMatrixBuilder(ce, mesh8, ment_block=2, ent_block=4,
+                                 pair_pad_multiple=32)
+    retr = CurRetriever.build(
+        encoder=ce, params=params, tokenizer=tok,
+        train_query_tokens=np.asarray(ment[:4]), item_tokens=np.asarray(ent),
+        n_anchor_items=4, builder=builder, max_query_len=16,
+    )
+    state = str(tmp_path / "retr_state.pkl")
+    retr.save(state)
+
+    argv = ["--index", state, "--vocab_file", vocab, "--crossenc_ckpt", ckpt,
+            "--http", "127.0.0.1:0", "--top_k", "2", "--top_k_retvr", "6",
+            "--batch", "4", "--coalesce_ms", "300", "--max_query_len", "16",
+            "--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
+            "--intermediate_size", "64"]
+    serve._serve_http.last_server = None  # stale-server guard, as above
+    t = threading.Thread(target=serve.main, args=(argv,), daemon=True)
+    t.start()
+    deadline = _time.time() + 60
+    server = None
+    while _time.time() < deadline and server is None:
+        server = getattr(serve._serve_http, "last_server", None)
+        _time.sleep(0.05)
+    assert server is not None
+    base = "http://127.0.0.1:%d" % server.server_address[1]
+
+    def call(path, payload=None):
+        req = urllib.request.Request(
+            base + path,
+            data=None if payload is None else _json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="GET" if payload is None else "POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, _json.loads(resp.read())
+
+    try:
+        # warm the steady program and capture expected answers; one
+        # batched request = exactly one dispatch
+        mentions = [f"alpha {i}" for i in range(4)]
+        code, out = call("/query", {"queries": [{"mention": m} for m in mentions]})
+        assert code == 200
+        expect = {m: row["results"] for m, row in zip(mentions, out["results"])}
+
+        barrier = threading.Barrier(4)
+        errors, results, lock = [], {}, threading.Lock()
+
+        def client(mention):
+            try:
+                barrier.wait(timeout=30)
+                code, out = call("/query", {"mention": mention})
+                assert code == 200
+                with lock:
+                    results[mention] = out["results"][0]["results"]
+            except Exception as e:  # noqa: BLE001 — collected for the main thread
+                with lock:
+                    errors.append(f"{mention}: {e!r}")
+
+        threads = [threading.Thread(target=client, args=(m,)) for m in mentions]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not errors, errors
+        # every client got ITS OWN answer despite sharing a batch
+        for m in mentions:
+            assert results[m] == expect[m], (m, results[m], expect[m])
+
+        code, health = call("/healthz")
+        assert code == 200
+        assert health["queries_answered"] == 8  # 4 warm + 4 hammered
+        # the 4 simultaneous single-query requests fit the 300 ms window:
+        # at most 2 dispatches for them (1 warm dispatch before)
+        assert health["dispatches"] <= 3, health
+        assert health["dispatches"] < health["queries_answered"]
+    finally:
+        server.shutdown()
+        t.join(timeout=30)
+    assert not t.is_alive()

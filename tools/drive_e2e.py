@@ -210,6 +210,8 @@ if backend == "cpu":
     argv = ["--index", state_path, "--vocab_file", vocab_path,
             "--crossenc_ckpt", ckpt_path, "--http", "127.0.0.1:0",
             "--top_k", "5", "--top_k_retvr", "32", "--batch", "4",
+            "--coalesce_ms", "300",  # deterministic window for the
+            # concurrent-coalescing check below
             "--max_query_len", str(ment.shape[1]),
             "--hidden_size", str(spec.hidden_size),
             "--num_layers", str(spec.num_layers),
@@ -271,7 +273,35 @@ if backend == "cpu":
         # queries return identical results through the recompiled program
         code, out2 = call("/query", {"queries": qtexts})
         assert code == 200 and out2["results"] == out["results"], "post-remove drift"
-        print("http serve ok: healthz/query/add/remove(dup) + 400 paths")
+        # dynamic batching: concurrent single-query requests share device
+        # dispatches (the coalescer) and still get their own answers
+        d0 = call("/healthz")[1]["dispatches"]
+        expect_rows = {q["mention"]: r["results"]
+                       for q, r in zip(qtexts, out2["results"])}
+        got, errs, barrier = {}, [], threading.Barrier(len(qtexts))
+
+        def one_client(q):
+            try:
+                barrier.wait(timeout=30)
+                c, o = call("/query", q)
+                assert c == 200, o
+                got[q["mention"]] = o["results"][0]["results"]
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errs.append(repr(e))
+
+        ths = [threading.Thread(target=one_client, args=(q,)) for q in qtexts]
+        for x in ths:
+            x.start()
+        for x in ths:
+            x.join(timeout=120)
+        assert not errs, errs
+        assert got == expect_rows, (got, expect_rows)
+        code, health = call("/healthz")
+        used = health["dispatches"] - d0
+        assert used < len(qtexts), (
+            f"no coalescing: {used} dispatches for {len(qtexts)} concurrent queries")
+        print(f"http serve ok: healthz/query/add/remove(dup) + 400 paths; "
+              f"coalesced {len(qtexts)} concurrent queries into {used} dispatch(es)")
     finally:
         server.shutdown()
         th.join(timeout=30)
