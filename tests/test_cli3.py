@@ -589,6 +589,32 @@ def test_serve_http_concurrent_clients(tmp_path, mesh8):
         for th in threads:
             th.join(timeout=300)
         assert not errors, errors
+
+        # burst phase: many clients CONNECT at the same instant. The
+        # stdlib default listen backlog (request_queue_size=5) RSTs
+        # connections beyond ~5 simultaneous connects before accept()
+        # runs (measured 44/256 resets at 64 clients on the TPU bench);
+        # the server must take a production-sized backlog instead.
+        assert type(server).request_queue_size >= 48, type(server).request_queue_size
+        burst_errors = []
+        barrier = threading.Barrier(48)
+
+        def burst_client(i):
+            m = mentions[i % len(mentions)]
+            try:
+                barrier.wait(timeout=60)
+                code, out = call("/query", {"mention": m})
+                assert code == 200 and out["results"][0]["results"] == expect[m]
+            except Exception as e:  # noqa: BLE001 — collected for the main thread
+                with lock:
+                    burst_errors.append(f"{i}: {e!r}")
+
+        burst = [threading.Thread(target=burst_client, args=(i,)) for i in range(48)]
+        for th in burst:
+            th.start()
+        for th in burst:
+            th.join(timeout=300)
+        assert not burst_errors, burst_errors
     finally:
         server.shutdown()
         t.join(timeout=30)

@@ -300,8 +300,33 @@ if backend == "cpu":
         used = health["dispatches"] - d0
         assert used < len(qtexts), (
             f"no coalescing: {used} dispatches for {len(qtexts)} concurrent queries")
+        # burst: 48 clients CONNECT at the same instant — beyond the
+        # stdlib default listen backlog (request_queue_size=5, which
+        # RSTs the excess before accept(); measured 44/256 resets at 64
+        # clients on the TPU HTTP bench before the server took a
+        # production backlog)
+        assert type(server).request_queue_size >= 48
+        b_errs, b_barrier = [], threading.Barrier(48)
+
+        def burst_client(i):
+            q = qtexts[i % len(qtexts)]
+            try:
+                b_barrier.wait(timeout=60)
+                c, o = call("/query", q)
+                assert c == 200, o
+                assert o["results"][0]["results"] == expect_rows[q["mention"]]
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                b_errs.append(f"{i}: {e!r}")
+
+        burst = [threading.Thread(target=burst_client, args=(i,)) for i in range(48)]
+        for x in burst:
+            x.start()
+        for x in burst:
+            x.join(timeout=300)
+        assert not b_errs, b_errs
         print(f"http serve ok: healthz/query/add/remove(dup) + 400 paths; "
-              f"coalesced {len(qtexts)} concurrent queries into {used} dispatch(es)")
+              f"coalesced {len(qtexts)} concurrent queries into {used} dispatch(es); "
+              f"48-client burst clean")
     finally:
         server.shutdown()
         th.join(timeout=30)
