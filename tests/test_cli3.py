@@ -614,6 +614,9 @@ def test_serve_http_concurrent_clients(tmp_path, mesh8):
             th.start()
         for th in burst:
             th.join(timeout=300)
+        # a hung client appends nothing — without this the test would
+        # pass vacuously on a wedged coalescer/socket (ADVICE r3)
+        assert not any(th.is_alive() for th in burst), "burst client(s) hung"
         assert not burst_errors, burst_errors
     finally:
         server.shutdown()

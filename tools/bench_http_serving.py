@@ -142,9 +142,17 @@ def main(argv=None):
     assert server is not None, "HTTP server did not come up"
     base = "http://127.0.0.1:%d" % server.server_address[1]
 
-    # real vocab words so queries tokenize into live ids (the engine is
-    # random-weight; only shapes/throughput matter here)
-    words = [w for w in retriever.tokenizer.vocab if w.isalpha()][:500]
+    # make_test_vocab's only .isalpha() entries are the 26 single letters,
+    # so a "real words" filter would yield 26 one-char tokens and make
+    # the host-side WordPiece share of this bench unrealistically tiny.
+    # Instead synthesize multi-subword mentions: random 4-10 letter
+    # strings split into a head char + '##' continuations, so query
+    # tokenization does real per-character merge work per request.
+    letters = list("abcdefghijklmnopqrstuvwxyz")
+    words = [
+        "".join(rng.choice(letters, int(n)))
+        for n in rng.integers(4, 11, size=500)
+    ]
     qs = [
         {"mention": " ".join(rng.choice(words, 3)),
          "context_left": " ".join(rng.choice(words, 5)),

@@ -323,6 +323,7 @@ if backend == "cpu":
             x.start()
         for x in burst:
             x.join(timeout=300)
+        assert not any(x.is_alive() for x in burst), "burst client(s) hung"
         assert not b_errs, b_errs
         print(f"http serve ok: healthz/query/add/remove(dup) + 400 paths; "
               f"coalesced {len(qtexts)} concurrent queries into {used} dispatch(es); "
