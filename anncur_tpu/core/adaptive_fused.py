@@ -123,6 +123,75 @@ def axn_complete_batched(
     )
 
 
+def _grow_rounds(
+    score_fn: Callable[[jax.Array], jax.Array],
+    completer: Callable[[jax.Array, jax.Array], jax.Array],
+    ids: jax.Array,  # (q, S) already-scored item ids
+    vals: jax.Array,  # (q, S) exact scores at those ids
+    n_new_rounds: int,
+    per: int,
+    valid_mask: Optional[jax.Array] = None,  # (m,) bool; False = padded col
+) -> Tuple[jax.Array, jax.Array]:
+    """Extend per-query scored state by ``n_new_rounds`` rounds of
+    ``per`` candidates each: complete -> pick unseen top-``per`` ->
+    exact-score -> append. Shared by the from-scratch engine and the
+    early-stop continuation (the state IS the resume point).
+
+    ``valid_mask`` marks real item columns when the corpus is padded to
+    a block multiple (retriever item_pad_multiple): padded columns are
+    forced to -inf so they are never picked as candidates."""
+    q = ids.shape[0]
+    for _ in range(n_new_rounds):
+        approx = completer(ids, vals)
+        if valid_mask is not None:
+            approx = jnp.where(valid_mask[None, :], approx, -jnp.inf)
+        # never re-pick an already-scored item
+        approx = approx.at[jnp.arange(q)[:, None], ids].set(-jnp.inf)
+        _, next_ids = jax.lax.top_k(approx, per)  # (q, per)
+        next_ids = next_ids.astype(jnp.int32)
+        next_vals = score_fn(next_ids)
+        if valid_mask is not None:
+            # a query that exhausts every VALID unseen item can only pick
+            # padded columns (-inf ties); their CE scores are of zero
+            # token rows — fake values that must never enter the ranking
+            next_vals = jnp.where(
+                jnp.take(valid_mask, next_ids), next_vals, -jnp.inf
+            )
+        ids = jnp.concatenate([ids, next_ids], axis=1)
+        vals = jnp.concatenate([vals, next_vals], axis=1)
+    return ids, vals
+
+
+def _topk_state(ids, vals, top_k):
+    top_scores, order = jax.lax.top_k(vals, min(top_k, vals.shape[1]))
+    return top_scores, jnp.take_along_axis(ids, order, axis=1)
+
+
+def stable_topk_flag(
+    ids: jax.Array, vals: jax.Array, per: int, top_k: int,
+    overlap: float = 1.0,
+) -> jax.Array:
+    """(q,) bool: is each query's top-``top_k`` id set (nearly) unchanged
+    by the LAST round? The early-stop convergence signal: a query whose
+    final round contributed (almost) nothing to its top-k has
+    stabilized — spending more budget on it is wasted.
+
+    ``overlap``: required |pre ∩ post| / top_k. 1.0 = exact set equality
+    (most conservative); lower values tolerate churn in the top-k tail —
+    the calibration sweep (tools/adaptive_matched_recall.py) picks the
+    threshold that still matches fixed-anchor recall on every committed
+    spectrum."""
+    k_pre = min(top_k, vals.shape[1] - per)
+    if k_pre < top_k:
+        return jnp.zeros((ids.shape[0],), bool)
+    _, top_pre = _topk_state(ids[:, :-per], vals[:, :-per], k_pre)
+    _, top_post = _topk_state(ids, vals, top_k)
+    # set overlap, not positional equality: ranking WITHIN the top-k may
+    # legitimately reorder on ties; the retrieval contract is the set
+    hit = (top_post[:, :, None] == top_pre[:, None, :]).any(axis=2)
+    return hit.mean(axis=1) >= overlap
+
+
 def adaptive_rounds(
     score_fn: Callable[[jax.Array], jax.Array],
     # score_fn(ids (q, k) int32) -> (q, k) exact scores; jittable; called
@@ -135,9 +204,16 @@ def adaptive_rounds(
     top_k: int,
     ridge_rel: float = 1e-6,
     completer: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    with_state: bool = False,
+    stability_overlap: float = 1.0,
+    valid_mask: Optional[jax.Array] = None,
+):
     """Pure traced body (call under jit): returns
-    (top_scores (q, top_k), top_ids (q, top_k), scored_ids (q, budget)).
+    (top_scores (q, top_k), top_ids (q, top_k), scored_ids (q, budget)),
+    plus (vals (q, budget), stable (q,) bool) when ``with_state`` — the
+    resume state and convergence flag for early-stop escalation
+    (adaptive_continue / retriever.query_tokens_adaptive_fused's
+    escalate_budget mode).
 
     ``completer(ids (q,S), vals (q,S)) -> (q, m)`` chooses the latent
     completion backend: default = CUR train-space ridge
@@ -154,20 +230,52 @@ def adaptive_rounds(
 
     ids = jnp.broadcast_to(anchors0[None, :first], (q, first)).astype(jnp.int32)
     vals = score_fn(ids)
+    ids, vals = _grow_rounds(
+        score_fn, completer, ids, vals, n_rounds - 1, per, valid_mask
+    )
+    top_scores, top_ids = _topk_state(ids, vals, top_k)
+    if not with_state:
+        return top_scores, top_ids, ids
+    stable = (
+        stable_topk_flag(ids, vals, per, top_k, stability_overlap)
+        if n_rounds > 1
+        else jnp.zeros((q,), bool)
+    )
+    return top_scores, top_ids, ids, vals, stable
 
-    for _ in range(n_rounds - 1):
-        approx = completer(ids, vals)
-        # never re-pick an already-scored item
-        approx = approx.at[jnp.arange(q)[:, None], ids].set(-jnp.inf)
-        _, next_ids = jax.lax.top_k(approx, per)  # (q, per)
-        next_ids = next_ids.astype(jnp.int32)
-        next_vals = score_fn(next_ids)
-        ids = jnp.concatenate([ids, next_ids], axis=1)
-        vals = jnp.concatenate([vals, next_vals], axis=1)
 
-    top_scores, order = jax.lax.top_k(vals, min(top_k, vals.shape[1]))
-    top_ids = jnp.take_along_axis(ids, order, axis=1)
-    return top_scores, top_ids, ids
+def adaptive_continue(
+    score_fn: Callable[[jax.Array], jax.Array],
+    train: jax.Array,
+    ids: jax.Array,  # (q, S) resume state from adaptive_rounds(with_state)
+    vals: jax.Array,  # (q, S)
+    extra_budget: int,
+    extra_rounds: int,
+    top_k: int,
+    ridge_rel: float = 1e-6,
+    completer: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+    stability_overlap: float = 1.0,
+    valid_mask: Optional[jax.Array] = None,
+):
+    """Early-stop escalation phase: resume UNSTABLE queries from their
+    already-scored state and spend ``extra_budget`` more CE calls over
+    ``extra_rounds`` rounds. Total per-query cost = S + extra_budget —
+    the base budget is reused, not re-paid. Returns
+    (top_scores, top_ids, ids, vals, stable) like
+    adaptive_rounds(with_state=True)."""
+    if completer is None:
+        completer = lambda i, v: ridge_complete(train, i, v, ridge_rel)
+    extra_rounds = max(1, min(extra_rounds, extra_budget))
+    per = max(1, extra_budget // extra_rounds)
+    first = extra_budget - per * (extra_rounds - 1)
+    # first extra round takes the remainder so the budget lands exactly
+    ids, vals = _grow_rounds(score_fn, completer, ids, vals, 1, first, valid_mask)
+    ids, vals = _grow_rounds(
+        score_fn, completer, ids, vals, extra_rounds - 1, per, valid_mask
+    )
+    top_scores, top_ids = _topk_state(ids, vals, top_k)
+    stable = stable_topk_flag(ids, vals, per, top_k, stability_overlap)
+    return top_scores, top_ids, ids, vals, stable
 
 
 @lru_cache(maxsize=64)
@@ -243,6 +351,161 @@ def adaptive_topk_oracle(
     else:
         s, i, scored = fn(full, train, anchors0)
     return np.asarray(s), np.asarray(i), np.asarray(scored)
+
+
+def _bucket_size(n: int, cap: int) -> int:
+    """Next power of two >= n (min 8), capped at ``cap`` — bounds the
+    set of compiled escalation-program shapes to O(log q) variants."""
+    b = 8
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+@lru_cache(maxsize=64)
+def _oracle_es_fns(
+    base_budget: int, base_rounds: int, extra_budget: int, extra_rounds: int,
+    top_k: int, ridge_rel: float, method: str, axn_lam_rel: float,
+    stability_overlap: float = 1.0,
+):
+    """(phase1, phase2) jitted oracle engines for early-stop escalation.
+    phase1 = adaptive_rounds with_state on the full batch; phase2 =
+    adaptive_continue on the compacted unstable rows."""
+
+    def make_completer(train, extra):
+        if method == "cur":
+            return lambda ids, vals: ridge_complete(train, ids, vals, ridge_rel)
+        item_embeds, mean = extra
+        return lambda ids, vals: axn_complete_batched(
+            item_embeds, mean, ids, vals, axn_lam_rel
+        )
+
+    def phase1(full, train, anchors0, *extra):
+        score = lambda ids: take_per_row(full, ids)
+        return adaptive_rounds(
+            score, train, anchors0, full.shape[0], base_budget, base_rounds,
+            top_k, ridge_rel, completer=make_completer(train, extra),
+            with_state=True, stability_overlap=stability_overlap,
+        )
+
+    def phase2(full_sub, train, ids, vals, *extra):
+        score = lambda i: take_per_row(full_sub, i)
+        return adaptive_continue(
+            score, train, ids, vals, extra_budget, extra_rounds, top_k,
+            ridge_rel, completer=make_completer(train, extra),
+        )
+
+    return jax.jit(phase1), jax.jit(phase2)
+
+
+def adaptive_topk_oracle_early_stop(
+    full_scores: np.ndarray,  # (q, m)
+    train_scores: np.ndarray,  # (n_train, m)
+    base_budget: int,
+    base_rounds: int,
+    escalate_budget: int,
+    escalate_rounds: int = 3,
+    top_k: int = 10,
+    seed: int = 0,
+    ridge_rel: float = 1e-6,
+    method: str = "cur",
+    axn_rank: Optional[int] = None,
+    axn_lam_rel: float = 1e-4,
+    stability_overlap: float = 1.0,
+) -> dict:
+    """Per-query early stopping (VERDICT r3 item 1b): every query runs
+    the base engine; queries whose top-k set was still CHANGING in the
+    last base round escalate — they RESUME from their scored state and
+    spend (escalate_budget - base_budget) more CE calls. Matched recall
+    becomes a property of the engine: easy spectra stop at the base
+    budget, hard ones pay more, and the average budget adapts.
+
+    Cost accounting is serving-honest: escalated rows are padded to a
+    power-of-two bucket (bounding compiled-shape variants) and the
+    PADDED rows count — avg_budget = base + (padded/q) * extra.
+
+    Returns {'top_ids', 'top_scores', 'avg_budget', 'frac_escalated',
+    'stable_frac'}."""
+    full = jnp.asarray(full_scores, jnp.float32)
+    train = jnp.asarray(train_scores, jnp.float32)
+    q, m = full.shape
+    base_budget = min(base_budget, m)
+    escalate_budget = min(escalate_budget, m)
+    extra = max(0, escalate_budget - base_budget)
+    first, _, _ = split_rounds(base_budget, base_rounds)
+    rng = np.random.default_rng(seed)
+    anchors0 = jnp.asarray(sorted(rng.choice(m, size=first, replace=False)), jnp.int32)
+    p1, p2 = _oracle_es_fns(
+        base_budget, base_rounds, extra, escalate_rounds, top_k,
+        ridge_rel, method, axn_lam_rel, stability_overlap,
+    )
+    es_args = ()
+    if method == "axn":
+        from anncur_tpu.core.axn import fit_item_embeddings_cached
+
+        idx = fit_item_embeddings_cached(
+            np.asarray(train_scores), axn_rank or min(train_scores.shape)
+        )
+        es_args = (idx.item_embeds, idx.mean)
+    s, i, ids, vals, stable = p1(full, train, anchors0, *es_args)
+    stable_h = np.asarray(stable)
+    out_s, out_i = np.array(s), np.array(i)  # np.asarray of a jax array is read-only
+    unstable = np.flatnonzero(~stable_h)
+    n_pad = 0
+    if extra > 0 and unstable.size:
+        n_pad = _bucket_size(int(unstable.size), q)
+        # pad with repeats of the first unstable row; padded results are
+        # dropped (they still cost CE calls in serving — counted below)
+        sel = np.concatenate([unstable, np.full(n_pad - unstable.size, unstable[0])])
+        sel_d = jnp.asarray(sel, jnp.int32)
+        s2, i2, _, _, _ = p2(
+            jnp.take(full, sel_d, axis=0), train,
+            jnp.take(ids, sel_d, axis=0), jnp.take(vals, sel_d, axis=0),
+            *es_args,
+        )
+        out_s[unstable] = np.asarray(s2)[: unstable.size]
+        out_i[unstable] = np.asarray(i2)[: unstable.size]
+    return {
+        "top_scores": out_s,
+        "top_ids": out_i,
+        "avg_budget": base_budget + extra * n_pad / q,
+        "frac_escalated": unstable.size / q,
+        "stable_frac": float(stable_h.mean()),
+    }
+
+
+def adaptive_recall_oracle_early_stop(
+    full_scores: np.ndarray,
+    train_scores: np.ndarray,
+    base_budget: int,
+    base_rounds: int,
+    escalate_budget: int,
+    escalate_rounds: int = 3,
+    top_k: int = 10,
+    seed: int = 0,
+    ridge_rel: float = 1e-6,
+    method: str = "cur",
+    axn_rank: Optional[int] = None,
+    stability_overlap: float = 1.0,
+) -> Tuple[float, float, float]:
+    """(recall@top_k, avg_budget, frac_escalated) of the early-stop
+    engine — the calibration quantity for
+    tools/adaptive_matched_recall.py's early-stop configs."""
+    from anncur_tpu.core.metrics import topk_overlap_frac
+
+    full = np.asarray(full_scores, np.float32)
+    exact_top = np.argsort(-full, axis=1)[:, :top_k]
+    r = adaptive_topk_oracle_early_stop(
+        full, train_scores, base_budget, base_rounds, escalate_budget,
+        escalate_rounds, top_k, seed, ridge_rel, method, axn_rank,
+        stability_overlap=stability_overlap,
+    )
+    rec = float(
+        np.asarray(
+            topk_overlap_frac(jnp.asarray(r["top_ids"]), jnp.asarray(exact_top))
+        ).mean()
+    )
+    return rec, r["avg_budget"], r["frac_escalated"]
 
 
 def fixed_anchor_recall(

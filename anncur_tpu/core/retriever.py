@@ -93,6 +93,15 @@ class CurRetriever:
     # collectives — queries are embarrassingly parallel)
     mesh: Optional[object] = None
     mesh_axis: str = "data"
+    # the ITEM axis of every fused program is padded to a multiple of
+    # this block (padded columns masked to -inf, padded token rows are
+    # zeros). Compiled programs are therefore keyed on the PADDED item
+    # count: add_items/remove_items within the same block reuse them —
+    # without this, ANY corpus edit changed the item-axis shape and the
+    # next query paid a full recompile (60-90 s per program on a remote
+    # TPU link; VERDICT r3 item 3). The real item count rides along as a
+    # traced scalar argument, never baked into the program.
+    item_pad_multiple: int = 1024
     # dynamic-corpus support (populated by .build()): U = pinv(R[:, anc])
     # and the anchor-query tokens let add_items extend the index without
     # a rebuild — U depends only on the anchor intersection, which new
@@ -136,18 +145,44 @@ class CurRetriever:
             self.next_item_id = int(self.item_ids.max()) + 1 if len(self.item_ids) else 0
 
     def _invalidate(self) -> None:
-        """Drop compiled programs + device constants after a corpus edit."""
-        self._fused_cache = {}
+        """Refresh device constants after a corpus edit. Compiled fused
+        programs are KEPT: every corpus-dependent value they touch
+        (item tokens, latent columns, valid mask, train matrix) is a
+        traced argument, so a same-padded-shape edit reuses them as-is
+        and a block-boundary crossing just triggers jit's own
+        shape-keyed recompile. Dropping them here was the round-3
+        recompile cliff: one /add cost the next query a 60-90 s
+        compile on a remote TPU link (VERDICT r3 item 3)."""
         self._dev_consts = None
         self._train_mat = None
         self._axn_cache = {}
 
+    def _padded_n_items(self) -> int:
+        n = self.item_tokens.shape[0]
+        block = max(1, int(self.item_pad_multiple))
+        return n + ((-n) % block)
+
     def _device_consts(self):
+        """(item_tokens (n_pad, Le), anchor_ids (k_i,), latent_cols
+        (k_c, n_pad), valid_mask (n_pad,)) — the item axis padded to
+        item_pad_multiple (token rows zero, latent columns zero, mask
+        False) so corpus edits within a block keep program shapes."""
         if self._dev_consts is None:
+            n = self.item_tokens.shape[0]
+            n_pad = self._padded_n_items()
+            items = np.zeros((n_pad, self.item_tokens.shape[1]), np.int32)
+            items[:n] = self.item_tokens
+            latent = np.zeros(
+                (self.index.latent_cols.shape[0], n_pad), np.float32
+            )
+            latent[:, :n] = np.asarray(self.index.latent_cols, np.float32)
+            mask = np.zeros((n_pad,), bool)
+            mask[:n] = True
             self._dev_consts = (
-                jnp.asarray(self.item_tokens, jnp.int32),
+                jnp.asarray(items),
                 jnp.asarray(self.anchor_item_ids, jnp.int32),
-                jnp.asarray(self.index.latent_cols, jnp.float32),
+                jnp.asarray(latent),
+                jnp.asarray(mask),
             )
         return self._dev_consts
 
@@ -458,7 +493,7 @@ class CurRetriever:
 
         score_pairs = _make_pair_scorer(ce, lm, le, self.pair_pad_multiple)
 
-        def fn(p, qtoks, items, anchor_ids, latent_cols):
+        def fn(p, qtoks, items, anchor_ids, latent_cols, valid_mask):
             anchor_toks = jnp.take(items, anchor_ids, axis=0)  # (k_i, Le)
 
             def body_anchor(_, m_blk):
@@ -476,6 +511,8 @@ class CurRetriever:
                 anchor_scores, latent_cols,
                 preferred_element_type=jnp.float32, precision="highest",
             )
+            # padded item columns can never be retrieved
+            approx = jnp.where(valid_mask[None, :], approx, -jnp.inf)
             if not rerank:
                 s, i = jax.lax.top_k(approx, top_k)
                 return s, i
@@ -507,7 +544,7 @@ class CurRetriever:
             fn = shard_map(
                 fn,
                 mesh=self.mesh,
-                in_specs=(P(), P(self.mesh_axis), P(), P(), P()),
+                in_specs=(P(), P(self.mesh_axis), P(), P(), P(), P()),
                 out_specs=(P(self.mesh_axis), P(self.mesh_axis)),
                 check_vma=False,
             )
@@ -538,11 +575,13 @@ class CurRetriever:
         q_pad = q + ((-q) % (chunk * n_dev))
         qtoks = np.zeros((q_pad, lm), np.int32)
         qtoks[:q] = query_tokens
-        items, anchor_ids, latent_cols = self._device_consts()
+        items, anchor_ids, latent_cols, valid_mask = self._device_consts()
         # fused fn is built on PER-DEVICE shapes; shard_map slices the
         # global batch along the mesh data axis
         fn = self._get_fused_query_fn(q_pad // n_dev, chunk, lm, top_k, top_k_retvr, rerank)
-        s, i = fn(self.params, jnp.asarray(qtoks), items, anchor_ids, latent_cols)
+        s, i = fn(
+            self.params, jnp.asarray(qtoks), items, anchor_ids, latent_cols, valid_mask
+        )
         # positions -> stable external ids (identity unless items were
         # removed; see remove_items)
         return np.asarray(s)[:q], self.item_ids[np.asarray(i)[:q]]
@@ -630,12 +669,17 @@ class CurRetriever:
     # ------------- fused adaptive query (first-class serving mode) ----- #
 
     def _train_matrix(self) -> jnp.ndarray:
-        """(n_train, n_items) train matrix on device: latent_rows @
+        """(n_train, n_pad_items) train matrix on device: latent_rows @
         latent_cols restores the training rows the index was built from
-        (anchor-row reconstruction is exact). Cached; invalidated on
-        corpus edits."""
+        (anchor-row reconstruction is exact), zero-padded on the item
+        axis to the same block multiple as the fused programs. Cached;
+        invalidated on corpus edits."""
         if self._train_mat is None:
-            self._train_mat = jnp.asarray(self.index.reconstruct(), jnp.float32)
+            mat = np.asarray(self.index.reconstruct(), np.float32)
+            pad = self._padded_n_items() - mat.shape[1]
+            if pad:
+                mat = np.pad(mat, ((0, 0), (0, pad)))
+            self._train_mat = jnp.asarray(mat)
         return self._train_mat
 
     def _get_fused_adaptive_fn(
@@ -648,6 +692,8 @@ class CurRetriever:
         ridge_rel: float,
         method: str = "cur",
         axn_lam_rel: float = 1e-4,
+        with_state: bool = False,
+        stability_overlap: float = 1.0,
     ):
         """ONE jit program for the whole adaptive query batch: round-0
         anchor scoring -> per-round latent completion / candidate pick /
@@ -655,8 +701,13 @@ class CurRetriever:
         scores. Replaces the host path's per-round dispatches and
         per-query f64 pinvs (core/adaptive_fused.py docstring).
         ``method``: 'cur' (train-space ridge) or 'axn' (factorized
-        item-embedding completion, core/axn.py — r x r solves)."""
-        key = ("adaptive", q_pad, lm, budget, n_rounds, top_k, ridge_rel, method, axn_lam_rel)
+        item-embedding completion, core/axn.py — r x r solves).
+        ``with_state``: also return (vals, stable) — the resume state +
+        convergence flag the early-stop escalation phase consumes."""
+        key = (
+            "adaptive", q_pad, lm, budget, n_rounds, top_k, ridge_rel, method,
+            axn_lam_rel, with_state, stability_overlap,
+        )
         if key in self._fused_cache:
             return self._fused_cache[key]
         from anncur_tpu.core.adaptive_fused import adaptive_rounds, axn_complete_batched
@@ -688,21 +739,101 @@ class CurRetriever:
 
         if method == "axn":
 
-            def fn(p, qtoks, items, train, anchors0, item_embeds, mean):
+            def fn(p, qtoks, items, train, anchors0, valid_mask, item_embeds, mean):
                 completer = lambda ids, vals: axn_complete_batched(
                     item_embeds, mean, ids, vals, axn_lam_rel
                 )
                 return adaptive_rounds(
                     make_score_fn(p, qtoks, items), train, anchors0, q_pad, budget,
                     n_rounds, top_k, ridge_rel, completer=completer,
+                    valid_mask=valid_mask, with_state=with_state,
+                    stability_overlap=stability_overlap,
                 )
 
         else:
 
-            def fn(p, qtoks, items, train, anchors0):
+            def fn(p, qtoks, items, train, anchors0, valid_mask):
                 return adaptive_rounds(
                     make_score_fn(p, qtoks, items), train, anchors0, q_pad, budget,
-                    n_rounds, top_k, ridge_rel,
+                    n_rounds, top_k, ridge_rel, valid_mask=valid_mask,
+                    with_state=with_state, stability_overlap=stability_overlap,
+                )
+
+        self._fused_cache[key] = jax.jit(fn)
+        return self._fused_cache[key]
+
+    def _get_fused_continue_fn(
+        self,
+        b_pad: int,
+        lm: int,
+        state_width: int,
+        extra_budget: int,
+        extra_rounds: int,
+        top_k: int,
+        ridge_rel: float,
+        method: str = "cur",
+        axn_lam_rel: float = 1e-4,
+    ):
+        """Phase-2 (escalation) program for early-stop adaptive serving:
+        resume the compacted UNSTABLE queries from their (ids, vals)
+        scored state and spend ``extra_budget`` more CE calls. Same
+        fused structure as phase 1 — the already-paid base budget rides
+        in as state, not re-scored."""
+        key = (
+            "adaptive-cont", b_pad, lm, state_width, extra_budget, extra_rounds,
+            top_k, ridge_rel, method, axn_lam_rel,
+        )
+        if key in self._fused_cache:
+            return self._fused_cache[key]
+        from anncur_tpu.core.adaptive_fused import (
+            adaptive_continue,
+            axn_complete_batched,
+        )
+
+        ce = self.encoder
+        le = self.item_tokens.shape[1]
+        score_pairs = _make_pair_scorer(ce, lm, le, self.pair_pad_multiple)
+
+        def make_score_fn(p, qtoks, items):
+            def score_fn(ids):
+                width = ids.shape[1]
+                target = max(1, self._stage_batch(width))
+                chunk = _largest_divisor_leq(b_pad, target)
+                nc = b_pad // chunk
+
+                def body(_, inp):
+                    m_blk, c_blk = inp
+                    cand_toks = jnp.take(items, c_blk, axis=0)
+                    return None, score_pairs(p, m_blk, cand_toks, chunk, width)
+
+                _, out = jax.lax.scan(
+                    body,
+                    None,
+                    (qtoks.reshape(nc, chunk, lm), ids.reshape(nc, chunk, width)),
+                )
+                return out.reshape(b_pad, width)
+
+            return score_fn
+
+        if method == "axn":
+
+            def fn(p, qtoks, items, train, ids, vals, valid_mask, item_embeds, mean):
+                completer = lambda i, v: axn_complete_batched(
+                    item_embeds, mean, i, v, axn_lam_rel
+                )
+                return adaptive_continue(
+                    make_score_fn(p, qtoks, items), train, ids, vals,
+                    extra_budget, extra_rounds, top_k, ridge_rel,
+                    completer=completer, valid_mask=valid_mask,
+                )
+
+        else:
+
+            def fn(p, qtoks, items, train, ids, vals, valid_mask):
+                return adaptive_continue(
+                    make_score_fn(p, qtoks, items), train, ids, vals,
+                    extra_budget, extra_rounds, top_k, ridge_rel,
+                    valid_mask=valid_mask,
                 )
 
         self._fused_cache[key] = jax.jit(fn)
@@ -720,6 +851,10 @@ class CurRetriever:
         method: str = "cur",
         axn_rank: Optional[int] = None,
         axn_lam_rel: float = 1e-4,
+        escalate_budget: Optional[int] = None,
+        escalate_rounds: int = 3,
+        stability_overlap: float = 1.0,
+        return_stats: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Adaptive multi-round retrieval as ONE fused jit program per
         batch — the production adaptive serving mode. Spends exactly
@@ -737,7 +872,20 @@ class CurRetriever:
 
         ``ridge_rel`` plays the pinv-rcond role of the fixed path: raise
         it toward ~1e-3 for matrices whose ranking signal sits near the
-        device matmul noise floor (see CurRetriever.build docstring)."""
+        device matmul noise floor (see CurRetriever.build docstring).
+
+        ``escalate_budget`` (> total_budget) turns on PER-QUERY EARLY
+        STOPPING (VERDICT r3 item 1b): after the base rounds, queries
+        whose top-k id set was still changing in the last round resume
+        from their scored state and spend the difference in extra CE
+        calls (``escalate_rounds`` more rounds). Escalated rows are
+        compacted and padded to a power-of-two bucket so the phase-2
+        program compiles O(log q) shape variants at most. Average cost
+        per query = total_budget + frac_escalated_padded * extra —
+        matched recall becomes a property of the ENGINE (easy queries
+        stop early) instead of a global calibration constant.
+        ``return_stats`` additionally returns {'avg_budget',
+        'frac_escalated', 'stable_frac'}."""
         from anncur_tpu.core.adaptive_fused import split_rounds
 
         query_tokens = np.asarray(query_tokens, np.int32)
@@ -767,19 +915,31 @@ class CurRetriever:
                 f"the corpus has {n_items} items — pass a train matrix over "
                 "the SAME item set"
             )
-        train = (
-            jnp.asarray(train_scores, jnp.float32)
-            if train_scores is not None
-            else self._train_matrix()
-        )
+        if train_scores is not None:
+            # pad the caller's train matrix to the fused programs' padded
+            # item axis (zero columns, never retrievable via valid_mask)
+            tr = np.asarray(train_scores, np.float32)
+            pad = self._padded_n_items() - tr.shape[1]
+            if pad:
+                tr = np.pad(tr, ((0, 0), (0, pad)))
+            train = jnp.asarray(tr)
+        else:
+            train = self._train_matrix()
         rng = np.random.default_rng(seed)
         anchors0 = jnp.asarray(
             sorted(rng.choice(n_items, size=first, replace=False)), jnp.int32
         )
-        items, _, _ = self._device_consts()
+        items, _, _, valid_mask = self._device_consts()
+        extra = 0
+        if escalate_budget is not None:
+            extra = max(0, min(escalate_budget, n_items) - total_budget)
+        with_state = extra > 0
         fn = self._get_fused_adaptive_fn(
-            q_pad, lm, total_budget, n_rounds, top_k, ridge_rel, method, axn_lam_rel
+            q_pad, lm, total_budget, n_rounds, top_k, ridge_rel, method,
+            axn_lam_rel, with_state=with_state,
+            stability_overlap=stability_overlap,
         )
+        es_args = ()
         if method == "axn":
             if train_scores is not None:
                 # explicit train matrices are cached by CONTENT — a
@@ -788,19 +948,68 @@ class CurRetriever:
                 # _invalidate clears the cache on corpus edits)
                 from anncur_tpu.core.axn import fit_item_embeddings_cached
 
+                # fit on the PADDED matrix so the completion's item axis
+                # matches the fused programs (padded items embed to zero
+                # and are masked out); rank defaults to the UNPADDED
+                # content rank — zero columns add no spectral energy
                 idx = fit_item_embeddings_cached(
-                    np.asarray(train_scores),
-                    axn_rank or min(train_scores.shape),
+                    tr, axn_rank or min(np.asarray(train_scores).shape)
                 )
             else:
                 idx = self._axn_index(train, axn_rank)
-            s, i, _ = fn(
-                self.params, jnp.asarray(qtoks), items, train, anchors0,
-                idx.item_embeds, idx.mean,
-            )
+            es_args = (idx.item_embeds, idx.mean)
+        out = fn(
+            self.params, jnp.asarray(qtoks), items, train, anchors0, valid_mask,
+            *es_args,
+        )
+        stats = {
+            "avg_budget": float(total_budget),
+            "frac_escalated": 0.0,
+            "stable_frac": 1.0,
+        }
+        if not with_state:
+            s, i = out[0], out[1]
         else:
-            s, i, _ = fn(self.params, jnp.asarray(qtoks), items, train, anchors0)
-        return np.asarray(s)[:q], self.item_ids[np.asarray(i)[:q]]
+            from anncur_tpu.core.adaptive_fused import _bucket_size
+
+            s, i, st_ids, st_vals, stable = out
+            # only REAL rows escalate: padded query rows carry zero
+            # tokens and would otherwise inflate the escalation bucket
+            stable_h = np.asarray(stable)[:q]
+            unstable = np.flatnonzero(~stable_h)
+            stats["stable_frac"] = float(stable_h.mean())
+            out_s = np.array(np.asarray(s)[:q])
+            out_i = np.array(np.asarray(i)[:q])
+            if unstable.size:
+                b_pad = _bucket_size(int(unstable.size), q_pad)
+                sel = np.concatenate(
+                    [unstable, np.full(b_pad - unstable.size, unstable[0])]
+                )
+                sel_d = jnp.asarray(sel, jnp.int32)
+                fn2 = self._get_fused_continue_fn(
+                    b_pad, lm, int(st_ids.shape[1]), extra, escalate_rounds,
+                    top_k, ridge_rel, method, axn_lam_rel,
+                )
+                s2, i2, _, _, _ = fn2(
+                    self.params,
+                    jnp.take(jnp.asarray(qtoks), sel_d, axis=0),
+                    items, train,
+                    jnp.take(st_ids, sel_d, axis=0),
+                    jnp.take(st_vals, sel_d, axis=0),
+                    valid_mask, *es_args,
+                )
+                out_s[unstable] = np.asarray(s2)[: unstable.size]
+                out_i[unstable] = np.asarray(i2)[: unstable.size]
+                # serving-honest accounting: padded escalation rows pay
+                # real CE calls, so they count
+                stats["avg_budget"] = total_budget + extra * b_pad / q
+                stats["frac_escalated"] = unstable.size / q
+            s, i = out_s, out_i
+        scores_out = np.asarray(s)[:q]
+        ids_out = self.item_ids[np.asarray(i)[:q]]
+        if return_stats:
+            return scores_out, ids_out, stats
+        return scores_out, ids_out
 
     def _axn_index(self, train: jnp.ndarray, rank: Optional[int]):
         """Fit (and cache) the AXN factorized item embeddings from the

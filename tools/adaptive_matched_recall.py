@@ -31,7 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
-from anncur_tpu.core.adaptive_fused import matched_recall_budget  # noqa: E402
+from anncur_tpu.core.adaptive_fused import (  # noqa: E402
+    adaptive_recall_oracle_early_stop,
+    fixed_anchor_recall,
+    matched_recall_budget,
+)
 
 
 def make_matrix(seed, n_q, n_train, n_items, rank, noise):
@@ -42,6 +46,55 @@ def make_matrix(seed, n_q, n_train, n_items, rank, noise):
         (n_q + n_train, n_items)
     ).astype(np.float32)
     return m[:n_q], m[n_q:]
+
+
+def load_trained_ce(path):
+    """(full, train, meta) from tools/make_trained_ce_matrix.py's npz —
+    the round-4 evidence family: a score matrix from a CE that actually
+    LEARNED (eval rows are queries the CE never trained on)."""
+    d = np.load(path)
+    scores = np.asarray(d["scores"], np.float32)
+    n_train, n_q = int(d["n_train"]), int(d["n_q"])
+    train = scores[:n_train]
+    full = scores[n_train : n_train + n_q]
+    meta = json.loads(str(d["meta"]))
+    return full, train, meta
+
+
+def early_stop_sweep(full, train, fixed_anc, fixed_retvr, seeds, configs):
+    """recall/avg-budget of the early-stop engine per (base, ceiling)
+    config, vs the fixed-anchor recall at cost fixed_anc+fixed_retvr.
+    The engine's own convergence test decides who escalates — the
+    budget adapts per query instead of being a global constant."""
+    fixed = float(
+        np.mean(
+            [
+                fixed_anchor_recall(full, train, fixed_anc, fixed_retvr, 10, s)
+                for s in seeds
+            ]
+        )
+    )
+    out = {"fixed_recall": fixed, "fixed_cost": fixed_anc + fixed_retvr, "configs": {}}
+    for base, base_rounds, ceiling, esc_rounds in configs:
+        recs, avgs, fracs = [], [], []
+        for s in seeds:
+            rec, avg_b, frac = adaptive_recall_oracle_early_stop(
+                full, train, base, base_rounds, ceiling, esc_rounds,
+                top_k=10, seed=s,
+            )
+            recs.append(rec), avgs.append(avg_b), fracs.append(frac)
+        key = f"b{base}r{base_rounds}_e{ceiling}r{esc_rounds}"
+        out["configs"][key] = {
+            "base_budget": base,
+            "base_rounds": base_rounds,
+            "escalate_budget": ceiling,
+            "escalate_rounds": esc_rounds,
+            "recall": float(np.mean(recs)),
+            "avg_budget": float(np.mean(avgs)),
+            "frac_escalated": float(np.mean(fracs)),
+            "matches_fixed": bool(np.mean(recs) >= fixed),
+        }
+    return out
 
 
 def main():
@@ -61,6 +114,7 @@ def main():
         fixed_anc, fixed_retvr = 200, 40
         seeds = (0,)
         ranks = (60,)
+        es_configs = ((30, 3, 120, 3),)
     else:
         n_q, n_train, n_items = 128, 500, 10000
         budgets = (60, 100, 150, 200, 300, 400, 600)
@@ -68,6 +122,13 @@ def main():
         seeds = (0, 1, 2)
         # effective rank regimes: well-approximable / realistic / hard
         ranks = (50, 150, 400)
+        # early-stop grid: (base, base_rounds, ceiling, escalate_rounds)
+        es_configs = (
+            (60, 5, 300, 5),
+            (100, 5, 300, 5),
+            (100, 5, 450, 5),
+            (150, 5, 450, 5),
+        )
 
     out = {
         # bench.py refuses quick-mode artifacts (toy shapes carry no
@@ -77,8 +138,27 @@ def main():
         "fixed": {"n_anchors": fixed_anc, "top_k_retvr": fixed_retvr},
         "scenarios": {},
     }
-    for rank in ranks:
-        full, train = make_matrix(7, n_q, n_train, n_items, rank, noise=0.05)
+    # scenario family: three synthetic spectra + (when the artifact from
+    # tools/make_trained_ce_matrix.py exists) a TRAINED cross-encoder's
+    # matrix — round 3's calibration was synthetic-only and the scale
+    # drive hinted trained-CE spectra need ~2x the budget (VERDICT r3
+    # weak #1); the headline below is now the WORST CASE across all of
+    # these, so bench line 3's budget is conservative by construction.
+    scenarios_in = [(f"rank{r}", r) for r in ranks]
+    tce_path = os.path.join(os.path.dirname(args.out), "trained_ce_matrix.npz")
+    if args.quick:
+        tce_path = tce_path.replace(".npz", "_quick.npz")
+    if os.path.exists(tce_path):
+        scenarios_in.append(("trained_ce", None))
+    else:
+        print(f"# no {tce_path}; trained-CE scenario skipped", file=sys.stderr)
+
+    for scen_name, rank in scenarios_in:
+        if rank is not None:
+            full, train = make_matrix(7, n_q, n_train, n_items, rank, noise=0.05)
+            tce_meta = None
+        else:
+            full, train, tce_meta = load_trained_ce(tce_path)
         # AXN rank: smallest r capturing 97% of the train spectral energy
         # (the operator does NOT get to peek at the true generative rank)
         s = np.linalg.svd(train - train.mean(axis=0), compute_uv=False)
@@ -112,42 +192,93 @@ def main():
                 )
                 key = f"{method}_r{n_rounds}"
                 scen[key] = res
-                print(json.dumps({f"rank{rank}.{key}": res}), flush=True)
-        out["scenarios"][f"rank{rank}"] = scen
+                print(json.dumps({f"{scen_name}.{key}": res}), flush=True)
+        if tce_meta is not None:
+            scen["trained_ce_meta"] = tce_meta
+        scen["early_stop"] = early_stop_sweep(
+            full, train, fixed_anc, fixed_retvr, seeds, es_configs
+        )
+        print(json.dumps({f"{scen_name}.early_stop": scen["early_stop"]}), flush=True)
+        out["scenarios"][scen_name] = scen
 
-    # headline for bench.py: at the middle (realistic) rank, the
-    # (method, rounds) with the smallest matched budget (ties -> fewer
-    # rounds, cur before axn); fall back across scenarios
-    headline = None
-    for key in (f"rank{ranks[len(ranks) // 2]}",) + tuple(f"rank{r}" for r in ranks):
-        matched = {
-            mk: r["matched_budget"]
-            for mk, r in out["scenarios"][key].items()
-            if r["matched_budget"] is not None
+    # headline for bench.py — WORST CASE across scenarios (round-4
+    # policy, VERDICT r3 weak #1): per scenario take the best (smallest)
+    # matched budget over its method/round variants; the headline quotes
+    # the scenario where that best is LARGEST, so the budget bench line 3
+    # runs is sufficient on every committed spectrum (including the
+    # trained-CE matrix when present).
+    def _variants(scen):
+        return {
+            mk: r
+            for mk, r in scen.items()
+            if isinstance(r, dict) and r.get("matched_budget") is not None
         }
-        if matched:
-            # stated policy: smallest budget, ties -> fewer rounds, cur
-            # before axn (a lexical key would put 'axn' first and order
-            # 'r10' before 'r3')
-            def _order(mk):
-                r = out["scenarios"][key][mk]
-                return (
-                    r["matched_budget"],
-                    r["n_rounds"],
-                    0 if mk.startswith("cur") else 1,
-                )
 
-            best = min(matched, key=_order)
-            res = out["scenarios"][key][best]
-            headline = key
-            out["headline_scenario"] = key
-            out["headline_method"] = best.split("_r")[0]
-            out["headline_n_rounds"] = res["n_rounds"]
-            out["headline_matched_budget"] = res["matched_budget"]
-            out["headline_axn_rank"] = res.get("axn_rank")
-            break
-    if headline is None:
+    per_scen_best = {}
+    for key, scen in out["scenarios"].items():
+        matched = _variants(scen)
+        if not matched:
+            continue
+
+        # stated policy: smallest budget, ties -> fewer rounds, cur
+        # before axn (a lexical key would put 'axn' first and order
+        # 'r10' before 'r3')
+        def _order(mk):
+            r = matched[mk]
+            return (
+                r["matched_budget"],
+                r["n_rounds"],
+                0 if mk.startswith("cur") else 1,
+            )
+
+        per_scen_best[key] = min(matched, key=_order)
+    if per_scen_best:
+        worst_key = max(
+            per_scen_best,
+            key=lambda k: out["scenarios"][k][per_scen_best[k]]["matched_budget"],
+        )
+        res = out["scenarios"][worst_key][per_scen_best[worst_key]]
+        out["headline_scenario"] = worst_key
+        out["headline_method"] = per_scen_best[worst_key].split("_r")[0]
+        out["headline_n_rounds"] = res["n_rounds"]
+        out["headline_matched_budget"] = res["matched_budget"]
+        out["headline_axn_rank"] = res.get("axn_rank")
+        out["headline_policy"] = "worst-case across scenarios"
+        out["per_scenario_best"] = {
+            k: out["scenarios"][k][v]["matched_budget"]
+            for k, v in per_scen_best.items()
+        }
+    else:
         out["headline_scenario"] = None
+
+    # early-stop headline: the config that matches fixed recall on
+    # EVERY scenario with the smallest worst-case average budget — one
+    # engine config, per-query-adaptive cost (VERDICT r3 item 1b)
+    es_ok = None
+    for base, base_rounds, ceiling, esc_rounds in es_configs:
+        ck = f"b{base}r{base_rounds}_e{ceiling}r{esc_rounds}"
+        rows = [
+            s["early_stop"]["configs"][ck]
+            for s in out["scenarios"].values()
+            if "early_stop" in s
+        ]
+        if rows and all(r["matches_fixed"] for r in rows):
+            worst_avg = max(r["avg_budget"] for r in rows)
+            if es_ok is None or worst_avg < es_ok["worst_avg_budget"]:
+                es_ok = {
+                    "config": ck,
+                    "base_budget": base,
+                    "base_rounds": base_rounds,
+                    "escalate_budget": ceiling,
+                    "escalate_rounds": esc_rounds,
+                    "worst_avg_budget": worst_avg,
+                    "per_scenario_avg_budget": {
+                        k: s["early_stop"]["configs"][ck]["avg_budget"]
+                        for k, s in out["scenarios"].items()
+                        if "early_stop" in s
+                    },
+                }
+    out["headline_early_stop"] = es_ok
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

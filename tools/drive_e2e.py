@@ -154,6 +154,47 @@ margin = (got - fifth) / spread
 print(f"worst margin vs 5th-best (in score-std units): {margin.min():.5f}")
 assert margin.min() > -0.01, (rec, margin.min())
 
+# ---- 2b. round-4 paths: item-axis padding (corpus edits reuse compiled
+# programs) and per-query early-stop adaptive serving.
+retr.item_pad_multiple = 96  # 64 items -> padded 96; small adds stay in-block
+retr._invalidate()  # padding changed -> refresh device constants
+s_pad, i_pad = retr.query_tokens_batch(test_q, top_k=5, top_k_retvr=32)
+np.testing.assert_array_equal(i_pad, idx)
+np.testing.assert_allclose(s_pad, scores, rtol=1e-5, atol=1e-5)
+print("item-padded fixed path == unpadded results")
+progs_before = dict(retr._fused_cache)
+new_ids = retr.add_items(np.asarray(ent[:4]), builder)  # 64 -> 68 <= 96
+assert retr._fused_cache == progs_before, "in-block add must keep compiled programs"
+s_add, i_add = retr.query_tokens_batch(test_q, top_k=5, top_k_retvr=32)
+ent_ext = np.concatenate([np.asarray(ent), np.asarray(ent[:4])], axis=0)
+exact_ext = np.asarray(builder(params, test_q, ent_ext))
+pos_of = {int(e): p for p, e in enumerate(retr.item_ids)}
+got_add = np.stack([
+    exact_ext[k, [pos_of[int(e)] for e in i_add[k]]] for k in range(len(test_q))
+])
+np.testing.assert_allclose(s_add, got_add, rtol=1e-4, atol=1e-4)
+print(f"add_items in-block: programs reused, scores exact (new ids {new_ids.tolist()})")
+retr.remove_items(new_ids)  # restore the 64-item corpus for what follows
+
+# early-stop adaptive: base budget + engine-decided escalation
+s_es, i_es, es_stats = retr.query_tokens_adaptive_fused(
+    test_q, total_budget=12, n_rounds=3, top_k=5, train_scores=R_probe,
+    escalate_budget=32, escalate_rounds=2, return_stats=True,
+)
+got_es = np.take_along_axis(exact, i_es, axis=1)
+np.testing.assert_allclose(s_es, got_es, rtol=1e-4, atol=1e-4)
+s_b, i_b = retr.query_tokens_adaptive_fused(
+    test_q, total_budget=12, n_rounds=3, top_k=5, train_scores=R_probe,
+)
+rec_es = float(np.mean(np.asarray(topk_overlap_frac(exact_top, i_es))))
+rec_b = float(np.mean(np.asarray(topk_overlap_frac(exact_top, i_b))))
+assert rec_es >= rec_b - 1e-9, (rec_es, rec_b)
+print(
+    f"early-stop adaptive: recall@5 {rec_es:.3f} (base-only {rec_b:.3f}), "
+    f"avg budget {es_stats['avg_budget']:.1f} of ceiling 32, "
+    f"escalated {es_stats['frac_escalated']:.2f}"
+)
+
 # ---- 3. w_embeds head end-to-end consistency: score == dot(embed_paired)
 cew = CrossEncoder(spec=spec, cross_enc_type="w_embeds", compute_dtype=jnp.float32)
 pw = cew.init(jax.random.PRNGKey(2))
@@ -260,13 +301,17 @@ if backend == "cpu":
         assert call("/query", [{"mention": "x"}])[0] == 400
         assert call("/add", {"items": ["nope"]})[0] == 400
         # dynamic corpus: add then remove one item, n_items tracks
+        # (the id allocator is monotonic for the retriever's LIFETIME —
+        # section 2b's add/remove already consumed ids, so the new id is
+        # >= n0, not == n0)
         n0 = ent.shape[0]
         code, added = call("/add", {"items": [{"title": "new", "description": "thing"}]})
-        assert code == 200 and added["ids"] == [n0], added
+        assert code == 200 and len(added["ids"]) == 1 and added["ids"][0] >= n0, added
+        new_id = added["ids"][0]
         assert call("/healthz")[1]["n_items"] == n0 + 1
         # duplicate ids collapse to one removal (dup positions used to
         # double-shift anchor positions → silently corrupted col_idxs)
-        code, removed = call("/remove", {"ids": [n0, n0]})
+        code, removed = call("/remove", {"ids": [new_id, new_id]})
         assert code == 200 and removed["removed"] == 1, removed
         assert call("/healthz")[1]["n_items"] == n0
         # corpus restored to the build state ⇒ anchors intact ⇒ the same
