@@ -570,8 +570,14 @@ class CurRetriever:
         top_k_retvr = min(top_k_retvr, self.index.n_cols)
         top_k = min(top_k, top_k_retvr if rerank else self.index.n_cols)
         k_max = max(len(self.anchor_item_ids), top_k_retvr)
-        chunk = max(1, min(self._stage_batch(k_max), q))
         n_dev = self._mesh_size()
+        # chunk is a PER-DEVICE scan block: cap it at the shard size
+        # ceil(q/n_dev), not the global q — otherwise a 16-query batch on
+        # an 8-device mesh padded to 8 full-chunk shards of 16 = 128 rows
+        # and every device burned 8x the CE compute on padding (measured
+        # 31.4 -> 4.7 q/s going 1 -> 8 virtual devices before this fix;
+        # benchmarks/multichip_scaling.json)
+        chunk = max(1, min(self._stage_batch(k_max), -(-q // n_dev)))
         q_pad = q + ((-q) % (chunk * n_dev))
         qtoks = np.zeros((q_pad, lm), np.int32)
         qtoks[:q] = query_tokens
@@ -691,7 +697,7 @@ class CurRetriever:
         top_k: int,
         ridge_rel: float,
         method: str = "cur",
-        axn_lam_rel: float = 1e-4,
+        axn_lam_rel: float = 1e-2,
         with_state: bool = False,
         stability_overlap: float = 1.0,
     ):
@@ -772,7 +778,7 @@ class CurRetriever:
         top_k: int,
         ridge_rel: float,
         method: str = "cur",
-        axn_lam_rel: float = 1e-4,
+        axn_lam_rel: float = 1e-2,
     ):
         """Phase-2 (escalation) program for early-stop adaptive serving:
         resume the compacted UNSTABLE queries from their (ids, vals)
@@ -850,7 +856,7 @@ class CurRetriever:
         ridge_rel: float = 1e-6,
         method: str = "cur",
         axn_rank: Optional[int] = None,
-        axn_lam_rel: float = 1e-4,
+        axn_lam_rel: float = 1e-2,
         escalate_budget: Optional[int] = None,
         escalate_rounds: int = 3,
         stability_overlap: float = 1.0,

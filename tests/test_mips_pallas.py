@@ -46,3 +46,44 @@ def test_pallas_interpret_padding(rng):
     s2, i2 = mips_topk_pallas(jnp.asarray(q), jnp.asarray(items), 7, tile=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
     assert np.all(np.asarray(i2) < 300)
+
+
+def test_maxmask_interpret_matches_brute(rng):
+    """In-kernel max-and-mask selection (no lax.top_k — the variant that
+    lowers on real Mosaic): exact scores, exact id SET (ties break to
+    the smaller id, which may differ from lax.top_k's order)."""
+    from anncur_tpu.ops.mips_pallas import mips_topk_pallas_maxmask
+
+    q = rng.standard_normal((8, 128)).astype(np.float32)
+    items = rng.standard_normal((512, 128)).astype(np.float32)
+    s1, i1 = mips_topk(jnp.asarray(q), jnp.asarray(items), 16)
+    s2, i2 = mips_topk_pallas_maxmask(
+        jnp.asarray(q), jnp.asarray(items), 16, tile=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-4)
+    # scores descending + ids identical as sets (distinct values here)
+    assert np.all(np.diff(np.asarray(s2), axis=1) <= 1e-7)
+    for r_ in range(8):
+        assert set(np.asarray(i2)[r_].tolist()) == set(np.asarray(i1)[r_].tolist())
+
+
+def test_maxmask_interpret_padding_and_ties(rng):
+    from anncur_tpu.ops.mips_pallas import mips_topk_pallas_maxmask
+
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    items = rng.standard_normal((300, 32)).astype(np.float32)
+    items[37] = items[251]  # exact duplicate rows -> tied scores
+    s1, i1 = mips_topk(jnp.asarray(q), jnp.asarray(items), 7)
+    s2, i2 = mips_topk_pallas_maxmask(
+        jnp.asarray(q), jnp.asarray(items), 7, tile=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-4)
+    assert np.all(np.asarray(i2) < 300)
+    # every id returned must carry the same exact score as brute force at
+    # its rank (tie order may differ between implementations)
+    full = np.asarray(q) @ np.asarray(items).T
+    got = np.take_along_axis(full, np.asarray(i2), axis=1)
+    np.testing.assert_allclose(got, np.asarray(s1), rtol=1e-4, atol=1e-4)
+    # no duplicate ids within a row (mask removes exactly the picked entry)
+    for r_ in range(4):
+        assert len(set(np.asarray(i2)[r_].tolist())) == 7

@@ -35,10 +35,15 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("ANNCUR_ALLOW_CPU", "1")
 
-from anncur_tpu.utils.platform import force_cpu_devices
+# backend decided before the first jax op: --tpu trains on the real chip
+# (a 1000-step run is minutes there vs hours on this 1-core host); the
+# default stays CPU so the artifact is reproducible anywhere
+if "--tpu" not in sys.argv:
+    from anncur_tpu.utils.platform import force_cpu_devices
 
-force_cpu_devices(8)
+    force_cpu_devices(8)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -119,7 +124,10 @@ def main():
             "trained_ce_matrix.npz",
         ),
     )
-    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--tpu", action="store_true",
+                    help="train/score on the real chip (minutes vs hours)")
+    ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
 
     if args.quick and "trained_ce_matrix.npz" in os.path.basename(args.out):
@@ -129,8 +137,11 @@ def main():
         n_ents, n_train, n_q, n_extra_train_ments = 400, 60, 16, 200
         steps = 30
     else:
-        # yugioh-ish scale: matches the adaptive_matched_recall shapes
-        n_ents, n_train, n_q, n_extra_train_ments = 10000, 500, 128, 1500
+        # yugioh-ish scale: matches the adaptive_matched_recall shapes.
+        # 8000 training mentions + 2000 steps of batch 64: the tiny-CE
+        # probes showed generalization needs capacity AND data — batch-16
+        # runs of 300-600 steps sat at ln(5) forever (CLAUDE.md pattern)
+        n_ents, n_train, n_q, n_extra_train_ments = 10000, 500, 128, 8000
         steps = args.steps
 
     n_ments = n_train + n_q + n_extra_train_ments
@@ -138,7 +149,18 @@ def main():
     ment, ent, gt, tokenizer = make_big_world(rng, n_ents, n_ments)
     n_dev = len(jax.devices())
     mesh = make_mesh((n_dev,), ("data",))
-    spec = BertSpec.tiny(vocab_size=tokenizer.vocab_size)
+    # 4-layer/128-hidden: the tiny (2-layer/64) spec memorizes single
+    # batches in 25 steps but never forms a general matching circuit
+    # (fresh-batch loss pinned at ln(5) for 600+ steps at lr 1e-3..1e-2,
+    # measured round 4); this spec is still ~50x cheaper than bert-base
+    spec = (
+        BertSpec.tiny(vocab_size=tokenizer.vocab_size)
+        if args.quick
+        else BertSpec.tiny(
+            vocab_size=tokenizer.vocab_size, hidden_size=128, num_layers=4,
+            num_heads=8, intermediate_size=512,
+        )
+    )
     ce = CrossEncoder(spec=spec, cross_enc_type="default", compute_dtype=jnp.float32)
 
     # CE training sees ONLY mentions past the matrix rows: rows 0..n_train
@@ -148,7 +170,8 @@ def main():
     data = EntLinkDataset(ment[train_slice], ent, gt[train_slice])
     cfg = Config(
         model_type="cross_enc", loss_type="ce", num_negs=4,
-        train_batch_size=16, grad_acc_steps=1, learning_rate=1e-3,
+        train_batch_size=16 if args.quick else args.batch,
+        grad_acc_steps=1, learning_rate=1e-3,
         num_epochs=1000, base_res_dir="/tmp/trained_ce_matrix_train",
     )
     tr = Trainer(cfg, ce, mesh=mesh, total_steps=steps)
@@ -161,7 +184,11 @@ def main():
     for _ in range(1000):
         for batch in crossenc_batches(data, negs, cfg.train_batch_size, shuffle=False):
             st, m = step(st, tr._shard_batch(batch))
-            if int(st.step) >= steps:
+            s = int(st.step)
+            if s % 200 == 0:
+                print(f"  step {s} loss {float(m['loss']):.4f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+            if s >= steps:
                 done = True
                 break
         if done:
@@ -173,7 +200,8 @@ def main():
     assert np.isfinite(loss)
 
     builder = ScoreMatrixBuilder(
-        ce, mesh, ment_block=8, ent_block=8 if args.quick else 64,
+        ce, mesh, ment_block=8 if args.quick else 16,
+        ent_block=8 if args.quick else 256,
         pair_pad_multiple=32,
     )
     t0 = time.time()
