@@ -264,9 +264,10 @@ class CurRetriever:
         is exactly what a full rebuild with the same anchors gives.
 
         Returns the stable external ids assigned to the new items.
-        Compiled query programs are invalidated (the item-count changed,
-        so the next query pays one recompile — batch additions to
-        amortize)."""
+        Compiled query programs are REUSED as long as the padded item
+        count (item_pad_multiple blocks) is unchanged — only device
+        constants are refreshed; an add that crosses a block boundary
+        recompiles once for the new padded shape (see _invalidate)."""
         if self.u is None or self.train_query_tokens is None:
             raise ValueError(
                 "add_items requires a retriever created by CurRetriever.build "

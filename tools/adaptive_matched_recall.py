@@ -159,18 +159,29 @@ def main():
             tce_meta = None
         else:
             full, train, tce_meta = load_trained_ce(tce_path)
-        # AXN rank: smallest r capturing 97% of the train spectral energy
-        # (the operator does NOT get to peek at the true generative rank)
+        # AXN rank: 2x the smallest r capturing 97% of the train spectral
+        # energy (capped at full rank; the operator does NOT peek at the
+        # true generative rank). Round 4 fix for VERDICT r3 item 4: at
+        # exactly the energy rank (135 on rank150) AXN needed ~2x CUR's
+        # budget (b150 recall 0.24 vs 0.74); the discriminative structure
+        # lives partly in the spectral TAIL, and doubling the fit rank
+        # (270) recovers it — b150 0.742 vs CUR 0.737, b200 0.992 vs 1.0,
+        # full rank 500 adds only +0.008. Together with lam_rel=1e-2
+        # (core/adaptive_fused.py::axn_complete_batched) this closes the
+        # gap to <=1.0x. Dim-capped PCR solves were the refuted
+        # alternative (axn_complete_batched dim_cap_frac docstring).
         s = np.linalg.svd(train - train.mean(axis=0), compute_uv=False)
         energy = np.cumsum(s**2) / np.sum(s**2)
-        axn_rank = int(np.searchsorted(energy, 0.97) + 1)
+        energy_rank = int(np.searchsorted(energy, 0.97) + 1)
+        axn_rank = int(min(2 * energy_rank, min(train.shape)))
         # round-count sweep for the CUR backend: rounds are nearly free
         # (each adds one batched solve + one small projection; total CE
         # work depends only on the budget), and MORE rounds concentrate
         # the budget better — measured on rank150: 3 rounds match at
-        # 200, 5 rounds at 150. AXN (non-headline) is swept at 3 rounds.
+        # 200, 5 rounds at 150. AXN swept at 3 and 5 rounds (its round-4
+        # rank/lam fix was measured at 5 rounds).
         scen = {}
-        for method, rounds_grid in (("cur", (3, 5, 8)), ("axn", (3,))):
+        for method, rounds_grid in (("cur", (3, 5, 8)), ("axn", (3, 5))):
             for n_rounds in rounds_grid:
                 res = matched_recall_budget(
                     full,

@@ -51,14 +51,18 @@ def build_retriever():
         rng.standard_normal((n_train, 16)) @ rng.standard_normal((16, n_items))
     ).astype(np.float32)
     anchors = np.asarray(sorted(rng.choice(n_items, k_i, replace=False)))
-    index = build_cur(
+    index, u = build_cur(
         rows=jnp.asarray(train_scores),
         cols=jnp.asarray(train_scores[:, anchors]),
         row_idxs=jnp.arange(n_train),
         col_idxs=jnp.asarray(anchors),
         approx_preference="rows",
         validate=False,
+        return_u=True,
     )
+    # anchor-query tokens + U stored so add_items works (the dynamic-
+    # corpus path measured by --add_then_query)
+    train_q_toks = rng.integers(1, spec.vocab_size, size=(n_train, 128)).astype(np.int32)
     retriever = CurRetriever(
         encoder=ce,
         params=params,
@@ -67,6 +71,8 @@ def build_retriever():
         index=index,
         anchor_item_ids=anchors,
         target_pairs_per_step=4096,
+        train_query_tokens=train_q_toks,
+        u=np.asarray(u),
     )
     return retriever, train_scores, spec, rng
 
@@ -136,6 +142,55 @@ def main(argv=None):
             }
             results[f"{mode}_b{b}"] = entry
             print(json.dumps({f"{mode}_b{b}": entry}), flush=True)
+
+    # ---- time-to-first-query after a corpus edit (VERDICT r3 item 3).
+    # The item axis is padded to item_pad_multiple inside every fused
+    # program, so a small add keeps program shapes and the next query
+    # must NOT retrace. Three rows:
+    #   add_items_ms                 — the /add itself (k_q CE calls per
+    #                                  new item + one matvec; real cost)
+    #   add_then_query_within_block  — first query after a small add
+    #                                  (same padded shape: program reuse)
+    #   add_then_query_recompile     — first query after emulating the
+    #                                  round-3 behavior (compiled-program
+    #                                  cache cleared): the cliff the
+    #                                  padding removed
+    if retriever.u is not None:
+        from anncur_tpu.indexer import ScoreMatrixBuilder
+
+        builder = ScoreMatrixBuilder(
+            retriever.encoder, None, ment_block=32, ent_block=8, pair_pad_multiple=32
+        )
+        qt1 = rng.integers(1, spec.vocab_size, size=(1, 128)).astype(np.int32)
+        q1 = lambda: retriever.query_tokens_batch(qt1, top_k=10, top_k_retvr=100)
+        q1()  # warm (b=1 program compiled above, but be explicit)
+        base_ms = float(np.percentile(time_dispatches(q1, 4), 50))
+
+        new_toks = rng.integers(1, spec.vocab_size, size=(16, 128)).astype(np.int32)
+        pad_before = retriever._padded_n_items()
+        t0 = time.time()
+        retriever.add_items(new_toks, builder)
+        add_ms = (time.time() - t0) * 1000.0
+        assert retriever._padded_n_items() == pad_before, "add crossed a block"
+        t0 = time.time()
+        q1()
+        within_ms = (time.time() - t0) * 1000.0
+
+        retriever._fused_cache.clear()  # round-3 behavior: drop programs
+        t0 = time.time()
+        q1()
+        recompile_ms = (time.time() - t0) * 1000.0
+        results["add_then_query"] = {
+            "query_b1_baseline_ms": round(base_ms, 1),
+            "add_items_ms": round(add_ms, 1),
+            "n_added": 16,
+            "add_then_query_within_block_ms": round(within_ms, 1),
+            "add_then_query_recompile_ms": round(recompile_ms, 1),
+            "note": "within_block ~ baseline = compiled programs survive "
+            "corpus edits (item-axis padding); recompile row emulates the "
+            "pre-fix cache drop",
+        }
+        print(json.dumps({"add_then_query": results["add_then_query"]}), flush=True)
 
     out = {
         "platform": jax.devices()[0].platform,

@@ -195,6 +195,19 @@ print(
     f"escalated {es_stats['frac_escalated']:.2f}"
 )
 
+# AXN completion backend through the same fused engine (round-4 defaults:
+# lam_rel 1e-2, fit rank auto=full on this tiny matrix) — returned scores
+# must still be EXACT CE scores (completion only picks candidates)
+s_ax, i_ax = retr.query_tokens_adaptive_fused(
+    test_q, total_budget=32, n_rounds=3, top_k=5, train_scores=R_probe,
+    method="axn",
+)
+got_ax = np.take_along_axis(exact, i_ax, axis=1)
+np.testing.assert_allclose(s_ax, got_ax, rtol=1e-4, atol=1e-4)
+rec_ax = float(np.mean(np.asarray(topk_overlap_frac(exact_top, i_ax))))
+assert rec_ax >= 0.5, rec_ax  # catastrophic-collapse detector at budget 32/64 items
+print(f"axn adaptive serving: recall@5 {rec_ax:.3f}, exact scores at returned ids")
+
 # ---- 3. w_embeds head end-to-end consistency: score == dot(embed_paired)
 cew = CrossEncoder(spec=spec, cross_enc_type="w_embeds", compute_dtype=jnp.float32)
 pw = cew.init(jax.random.PRNGKey(2))
