@@ -710,7 +710,13 @@ class CurRetriever:
         ``method``: 'cur' (train-space ridge) or 'axn' (factorized
         item-embedding completion, core/axn.py — r x r solves).
         ``with_state``: also return (vals, stable) — the resume state +
-        convergence flag the early-stop escalation phase consumes."""
+        convergence flag the early-stop escalation phase consumes.
+
+        ``q_pad`` is the PER-DEVICE query count: on a multi-chip mesh the
+        program is shard_mapped over the data axis (queries sharded,
+        corpus/index/train replicated — every round's solves and CE
+        gathers are per-query independent, so no collectives are needed
+        inside the program)."""
         key = (
             "adaptive", q_pad, lm, budget, n_rounds, top_k, ridge_rel, method,
             axn_lam_rel, with_state, stability_overlap,
@@ -766,6 +772,23 @@ class CurRetriever:
                     with_state=with_state, stability_overlap=stability_overlap,
                 )
 
+        if self._mesh_size() > 1:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            ax = self.mesh_axis
+            n_in = 8 if method == "axn" else 6
+            n_out = 5 if with_state else 3  # adaptive_rounds arity
+            in_specs = tuple(
+                P(ax) if j == 1 else P() for j in range(n_in)  # qtoks sharded
+            )
+            fn = shard_map(
+                fn,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=tuple(P(ax) for _ in range(n_out)),
+                check_vma=False,
+            )
         self._fused_cache[key] = jax.jit(fn)
         return self._fused_cache[key]
 
@@ -907,10 +930,17 @@ class CurRetriever:
         # padded q=128 to 180 rows (40% wasted CE compute) when chunk0
         # landed just under q (measured: the budget-200 3-round config
         # dipped to 7.6 q/s at q=64 from exactly this).
-        chunk0 = max(1, min(self._stage_batch(max(first, per)), q))
-        n_chunks = -(-q // chunk0)
-        chunk0 = -(-q // n_chunks)
-        q_pad = chunk0 * n_chunks
+        # multi-chip: queries are sharded over the mesh data axis, so all
+        # chunking is computed on the PER-DEVICE shard (ceil(q/n_dev));
+        # the program itself is built on per-device shapes and
+        # shard_mapped (see _get_fused_adaptive_fn)
+        n_dev = self._mesh_size()
+        q_loc = -(-q // n_dev)
+        chunk0 = max(1, min(self._stage_batch(max(first, per)), q_loc))
+        n_chunks = -(-q_loc // chunk0)
+        chunk0 = -(-q_loc // n_chunks)
+        q_pad_loc = chunk0 * n_chunks
+        q_pad = q_pad_loc * n_dev
         qtoks = np.zeros((q_pad, lm), np.int32)
         qtoks[:q] = query_tokens
         if train_scores is not None and train_scores.shape[1] != n_items:
@@ -942,7 +972,7 @@ class CurRetriever:
             extra = max(0, min(escalate_budget, n_items) - total_budget)
         with_state = extra > 0
         fn = self._get_fused_adaptive_fn(
-            q_pad, lm, total_budget, n_rounds, top_k, ridge_rel, method,
+            q_pad_loc, lm, total_budget, n_rounds, top_k, ridge_rel, method,
             axn_lam_rel, with_state=with_state,
             stability_overlap=stability_overlap,
         )

@@ -209,6 +209,37 @@ def test_retriever_fused_adaptive_axn(retriever_setup):
         )
 
 
+def test_fused_adaptive_mesh_sharded_matches_single(retriever_setup, mesh8):
+    """Multi-chip adaptive serving: queries sharded over the mesh data
+    axis (corpus/index/train replicated, per-query solves independent)
+    must return the single-device results — cur, axn, and the
+    early-stop escalation path."""
+    import dataclasses
+
+    retriever, ment, full_scores, _ = retriever_setup
+    test_toks = ment[16:22]
+    sharded = dataclasses.replace(retriever, mesh=mesh8)
+    for kw in (
+        dict(total_budget=24, n_rounds=3, top_k=5),
+        dict(total_budget=24, n_rounds=3, top_k=5, method="axn", axn_rank=8),
+        dict(total_budget=16, n_rounds=2, top_k=5, escalate_budget=28,
+             escalate_rounds=2),
+    ):
+        s1, i1 = retriever.query_tokens_adaptive_fused(
+            test_toks, train_scores=full_scores[:16], **kw
+        )[:2]
+        s2, i2 = sharded.query_tokens_adaptive_fused(
+            test_toks, train_scores=full_scores[:16], **kw
+        )[:2]
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        # exact CE scores at returned ids either way
+        for r in range(test_toks.shape[0]):
+            np.testing.assert_allclose(
+                s2[r], full_scores[16 + r, i2[r]], rtol=1e-4, atol=1e-4
+            )
+
+
 def test_take_per_row_overflow_guard():
     """q*m past int32 must raise at trace time (TPU take would CLAMP the
     overflowed flat indices -> silently wrong gathers)."""

@@ -208,6 +208,28 @@ rec_ax = float(np.mean(np.asarray(topk_overlap_frac(exact_top, i_ax))))
 assert rec_ax >= 0.5, rec_ax  # catastrophic-collapse detector at budget 32/64 items
 print(f"axn adaptive serving: recall@5 {rec_ax:.3f}, exact scores at returned ids")
 
+# mesh-sharded adaptive serving (round 4): queries sharded over the data
+# axis, per-query solves need no collectives — results must equal the
+# single-device engine's exactly (only meaningful on the multi-device
+# cpu mesh; on the 1-chip tpu run the shard_map wrap is a no-op)
+if n_dev > 1:
+    import dataclasses
+
+    retr_sh = dataclasses.replace(retr, mesh=mesh)
+    s_sh, i_sh = retr_sh.query_tokens_adaptive_fused(
+        test_q, total_budget=12, n_rounds=3, top_k=5, train_scores=R_probe,
+    )
+    np.testing.assert_array_equal(i_sh, i_b)
+    np.testing.assert_allclose(s_sh, s_b, atol=1e-5)
+    s_she, i_she = retr_sh.query_tokens_adaptive_fused(
+        test_q, total_budget=12, n_rounds=3, top_k=5, train_scores=R_probe,
+        escalate_budget=32, escalate_rounds=2,
+    )
+    np.testing.assert_allclose(
+        np.take_along_axis(exact, i_she, axis=1), s_she, rtol=1e-4, atol=1e-4
+    )
+    print(f"mesh-sharded adaptive == single-device ({n_dev} devices)")
+
 # ---- 3. w_embeds head end-to-end consistency: score == dot(embed_paired)
 cew = CrossEncoder(spec=spec, cross_enc_type="w_embeds", compute_dtype=jnp.float32)
 pw = cew.init(jax.random.PRNGKey(2))

@@ -171,7 +171,11 @@ def main():
     cfg = Config(
         model_type="cross_enc", loss_type="ce", num_negs=4,
         train_batch_size=16 if args.quick else args.batch,
-        grad_acc_steps=1, learning_rate=1e-3,
+        # 3e-4 for the 4-layer/128 spec: at 1e-3 (fine for the 2-layer
+        # drive model) this spec sits at ln(5) forever — measured round 4
+        # (TPU lr sweep: 3e-4 -> loss 0.02 @ 1200 steps; 1e-3, 3e-3 ->
+        # 1.61 flat; single-batch memorization also fails at 1e-3)
+        grad_acc_steps=1, learning_rate=1e-3 if args.quick else 3e-4,
         num_epochs=1000, base_res_dir="/tmp/trained_ce_matrix_train",
     )
     tr = Trainer(cfg, ce, mesh=mesh, total_steps=steps)
