@@ -188,6 +188,14 @@ def main(argv=None):
                    help="adaptive mode: number of rounds")
     p.add_argument("--ada_method", choices=["cur", "axn"], default="cur")
     p.add_argument("--axn_rank", type=int, default=0, help="0 = full rank")
+    p.add_argument("--escalate_budget", type=int, default=0,
+                   help="adaptive mode: per-query early stopping — queries "
+                   "whose top-k hasn't stabilized after --budget CE calls "
+                   "spend up to this many total (0 = off); easy queries "
+                   "stop at --budget, so the AVERAGE cost adapts to query "
+                   "hardness instead of being a global constant")
+    p.add_argument("--escalate_rounds", type=int, default=3,
+                   help="adaptive mode: rounds for the escalation phase")
     p.add_argument("--batch", type=int, default=32,
                    help="queries per device dispatch (both modes); 32 favors "
                    "latency — adaptive throughput peaks near 512 "
@@ -295,6 +303,8 @@ def main(argv=None):
                 top_k=args.top_k,
                 method=args.ada_method,
                 axn_rank=args.axn_rank or None,
+                escalate_budget=args.escalate_budget or None,
+                escalate_rounds=args.escalate_rounds,
                 seed=args.seed,
             )
         else:
@@ -422,6 +432,14 @@ def _serve_http(args, retriever, ce, tokenize, answer):
                         if args.mode == "adaptive"
                         else retriever.cost_per_query
                         + min(args.top_k_retvr, n_items)
+                    ),
+                    # early-stop ceiling (0 = off): cost_per_query above is
+                    # the guaranteed floor; unstable queries may spend up
+                    # to this many CE calls
+                    "escalate_budget": int(
+                        min(args.escalate_budget, n_items)
+                        if args.mode == "adaptive" and args.escalate_budget
+                        else 0
                     ),
                     "batch": args.batch,
                     "coalesce_ms": args.coalesce_ms,

@@ -348,6 +348,25 @@ def test_serve_cli_adaptive_mode(tmp_path):
         scores = [s for _, s in rec["results"]]
         assert scores == sorted(scores, reverse=True)
 
+    # early-stop escalation exposed: same pipeline with a ceiling — easy
+    # queries stop at --budget, unstable ones spend up to escalate_budget
+    out2 = str(tmp_path / "out_es.jsonl")
+    serve.main(
+        ["--index", idx_path, "--ent_tokens_file", npy, "--vocab_file", vocab,
+         "--queries", qfile, "--out", out2, "--top_k", "3",
+         "--mode", "adaptive", "--budget", "8", "--rounds", "2",
+         "--escalate_budget", "16", "--escalate_rounds", "2",
+         "--max_query_len", "16",
+         "--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
+         "--intermediate_size", "64"]
+    )
+    lines2 = [_json.loads(l) for l in open(out2)]
+    assert len(lines2) == 3
+    for rec in lines2:
+        assert len(rec["results"]) == 3
+        scores = [s for _, s in rec["results"]]
+        assert scores == sorted(scores, reverse=True)
+
 
 def test_serve_cli_http_mode(tmp_path, mesh8):
     """--http: query/add/remove/healthz over the stdlib HTTP front-end,

@@ -51,18 +51,17 @@ def _force(x):
     return float(jnp.sum(x[:8, :8]))
 
 
-def stage_mips(quick):
+def _mips_shape(quick):
+    if quick:
+        return 256, 4096, 64, 16, (1024,)
+    return MILITARY_MENTS, MILITARY_ENTS, 768, 64, (4096, 8192, 16384)
+
+
+def _mips_gen(q, n, d):
+    """Inputs generated ON DEVICE (tunnel bandwidth gotcha, CLAUDE.md)
+    from a fixed key — subprocesses regenerate bit-identical arrays."""
     import jax
     import jax.numpy as jnp
-
-    from anncur_tpu.ops.mips_pallas import mips_topk_streaming
-
-    if quick:
-        q, n, d, k = 256, 4096, 64, 16
-        chunks = (1024,)
-    else:
-        q, n, d, k = MILITARY_MENTS, MILITARY_ENTS, 768, 64
-        chunks = (4096, 8192, 16384)
 
     @jax.jit
     def gen(key):
@@ -74,10 +73,21 @@ def stage_mips(quick):
 
     queries, items = gen(jax.random.PRNGKey(0))
     _force(queries), _force(items)
+    return queries, items
 
-    res = {"shape": {"q": q, "n": n, "d": d, "k": k}}
 
-    # --- materialize-then-top_k (the naive path the streaming one replaces)
+def _mips_materialize_sub(quick, ref_npz):
+    """Subprocess body: the naive materialize-then-top_k program. Run
+    ISOLATED because at (13k, 104k) this single giant program WEDGED the
+    remote worker (round 4: 42 min blocked with 5 s of client CPU) — a
+    wedge/crash here is the measurement, and it must not take the whole
+    drive down with it."""
+    import jax
+    import jax.numpy as jnp
+
+    q, n, d, k, _ = _mips_shape(quick)
+    queries, items = _mips_gen(q, n, d)
+
     @jax.jit
     def materialize(qm, im):
         scores = jnp.dot(
@@ -85,22 +95,106 @@ def stage_mips(quick):
         )
         return jax.lax.top_k(scores, k)
 
-    try:
-        s_m, i_m = materialize(queries, items)  # compile + run
-        _force(s_m)
-        t0 = time.time()
-        s_m, i_m = materialize(queries, items)
-        _force(s_m)
-        mat_s = time.time() - t0
-        res["materialize"] = {
-            "wall_s": round(mat_s, 3),
-            "score_matrix_gb": round(q * n * 4 / 1e9, 2),
-        }
-    except Exception as e:  # noqa: BLE001 — OOM at this scale IS the result
-        res["materialize"] = {"error": str(e)[:300]}
-        mat_s = None
+    s_m, i_m = materialize(queries, items)  # compile + run
+    _force(s_m)
+    t0 = time.time()
+    s_m, i_m = materialize(queries, items)
+    _force(s_m)
+    out = {
+        "wall_s": round(time.time() - t0, 3),
+        "score_matrix_gb": round(q * n * 4 / 1e9, 2),
+    }
+    if os.path.exists(ref_npz):
+        ref = np.load(ref_npz)["s"]
+        np.testing.assert_allclose(
+            np.asarray(s_m[: ref.shape[0]]), ref, rtol=1e-5, atol=1e-5
+        )
+        out["exactness"] = f"top-{k} scores equal to streaming on {ref.shape[0]}-row subsample"
+    print("MAT_JSON " + json.dumps(out), flush=True)
 
-    # --- streaming (production fused path)
+
+def _mips_pallas_sub(quick):
+    """Subprocess body: the Pallas max-and-mask kernel (in-kernel
+    selection that lowers on real Mosaic — VERDICT r3 item 7) vs the
+    streaming XLA path at the SAME shape. Queries capped at 1024 rows:
+    the kernel holds the whole query block in VMEM ((q, d) f32 — 13k
+    rows would be 40 MB against 16 MB VMEM); per-query cost is what the
+    comparison needs. Isolated so a Mosaic failure or a worker left
+    crashed by the materialize sub (first op here pays the 9-21 min
+    recovery, CLAUDE.md) cannot wedge the drive."""
+    import jax
+    import jax.numpy as jnp
+
+    from anncur_tpu.ops.mips_pallas import (
+        mips_topk_pallas_maxmask,
+        mips_topk_streaming,
+    )
+
+    q, n, d, k, chunks = _mips_shape(quick)
+    qp = min(q, 1024)
+    # recovery guard: a tiny op first, so compile/run timings below are
+    # not polluted by a worker restart
+    _force(jnp.ones((8, 8)) + 1.0)
+    queries, items = _mips_gen(q, n, d)
+    queries = queries[:qp]
+    out = {"q_rows": qp}
+    for kk in sorted({16, k}):
+        try:
+            # quick mode runs on CPU where only interpret lowers; the
+            # full run exercises real Mosaic
+            f = lambda: mips_topk_pallas_maxmask(
+                queries, items, kk, tile=1024, interpret=quick
+            )
+            s_p, _ = f()
+            _force(s_p)
+            t0 = time.time()
+            s_p, _ = f()
+            _force(s_p)
+            out[f"k{kk}"] = round(time.time() - t0, 3)
+            s_ref, _ = mips_topk_streaming(queries[:128], items, kk, chunk=chunks[-1])
+            np.testing.assert_allclose(
+                np.asarray(s_p[:128]), np.asarray(s_ref), rtol=1e-5, atol=1e-5
+            )
+            f2 = lambda: mips_topk_streaming(queries, items, kk, chunk=chunks[-1])
+            s2, _ = f2()
+            _force(s2)
+            t0 = time.time()
+            s2, _ = f2()
+            _force(s2)
+            out[f"k{kk}_streaming"] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — a Mosaic lowering gap IS the result
+            out[f"k{kk}"] = f"error: {str(e)[:200]}"
+    print("PALLAS_JSON " + json.dumps(out), flush=True)
+
+
+def _run_sub(flag, quick, timeout_s, tag):
+    cmd = [sys.executable, os.path.abspath(__file__), flag]
+    if quick:
+        cmd.append("--quick")
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"error": f"{tag} subprocess exceeded {timeout_s}s (remote worker wedge)"}
+    if r.returncode != 0:
+        return {"error": f"{tag} failed: {(r.stdout + r.stderr)[-400:]}"}
+    for line in r.stdout.splitlines():
+        if line.startswith(tag + " "):
+            return json.loads(line[len(tag) + 1:])
+    return {"error": f"{tag}: no result line:\n{r.stdout[-400:]}"}
+
+
+def stage_mips(quick):
+    """Streaming sweep runs FIRST in this (healthy-worker) process; the
+    naive materialize program and the Pallas kernel run in bounded
+    subprocesses afterwards (see _mips_materialize_sub for why)."""
+    import jax.numpy as jnp  # noqa: F401 — backend established by caller
+
+    from anncur_tpu.ops.mips_pallas import mips_topk_streaming
+
+    q, n, d, k, chunks = _mips_shape(quick)
+    queries, items = _mips_gen(q, n, d)
+    res = {"shape": {"q": q, "n": n, "d": d, "k": k}}
+
     best = None
     res["streaming"] = {}
     for chunk in chunks:
@@ -114,50 +208,22 @@ def stage_mips(quick):
         res["streaming"][f"chunk{chunk}"] = round(dt, 3)
         if best is None or dt < best[1]:
             best = (chunk, dt, s_s, i_s)
-
     res["streaming_best_chunk"] = best[0]
     res["streaming_best_wall_s"] = round(best[1], 3)
+    ref_npz = "/tmp/military_mips_stream_ref.npz"
+    np.savez(ref_npz, s=np.asarray(best[2][:128]))
 
-    # --- Pallas max-and-mask kernel (in-kernel selection that lowers on
-    # real Mosaic — VERDICT r3 item 7); k=16 regime plus the headline k
-    from anncur_tpu.ops.mips_pallas import mips_topk_pallas_maxmask
-
-    res["pallas_maxmask"] = {}
-    for kk in sorted({16, k}):
-        try:
-            f = lambda: mips_topk_pallas_maxmask(queries, items, kk, tile=1024)
-            s_p, i_p = f()
-            _force(s_p)
-            t0 = time.time()
-            s_p, i_p = f()
-            _force(s_p)
-            dt = time.time() - t0
-            # exactness vs streaming at the same k on a subsample
-            s_ref, _ = mips_topk_streaming(queries[:128], items, kk, chunk=best[0])
-            np.testing.assert_allclose(
-                np.asarray(s_p[:128]), np.asarray(s_ref), rtol=1e-5, atol=1e-5
-            )
-            res["pallas_maxmask"][f"k{kk}"] = round(dt, 3)
-            # streaming at the same k for a like-for-like ratio
-            f2 = lambda: mips_topk_streaming(queries, items, kk, chunk=best[0])
-            s2, _ = f2()
-            _force(s2)
-            t0 = time.time()
-            s2, _ = f2()
-            _force(s2)
-            res["pallas_maxmask"][f"k{kk}_streaming"] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001 — a Mosaic lowering gap IS the result
-            res["pallas_maxmask"][f"k{kk}"] = f"error: {str(e)[:200]}"
-
+    res["materialize"] = _run_sub(
+        "--mips-mat-only", quick, 600 if quick else 2700, "MAT_JSON"
+    )
+    mat_s = res["materialize"].get("wall_s")
     if mat_s is not None:
         res["streaming_vs_materialize_speedup"] = round(mat_s / best[1], 2)
-        # exact equality on a row subsample (score ties can permute ids;
-        # compare sorted score VALUES, and ids where scores are distinct)
-        sub = slice(0, 128)
-        np.testing.assert_allclose(
-            np.asarray(best[2][sub]), np.asarray(s_m[sub]), rtol=1e-5, atol=1e-5
-        )
-        res["exactness"] = "top-64 scores equal on 128-row subsample"
+        res["exactness"] = res["materialize"].pop("exactness", None)
+
+    res["pallas_maxmask"] = _run_sub(
+        "--mips-pallas-only", quick, 900 if quick else 3600, "PALLAS_JSON"
+    )
     return res
 
 
@@ -327,6 +393,12 @@ def main():
                     help="skip the ~20 min bert-base build stage")
     ap.add_argument("--stage-oracle-only", action="store_true",
                     help="internal: CPU subprocess for stage 4")
+    ap.add_argument("--mips-mat-only", action="store_true",
+                    help="internal: bounded subprocess for the naive "
+                    "materialize MIPS program")
+    ap.add_argument("--mips-pallas-only", action="store_true",
+                    help="internal: bounded subprocess for the Pallas "
+                    "max-and-mask kernel")
     ap.add_argument(
         "--out",
         default=os.path.join(
@@ -346,6 +418,12 @@ def main():
 
     if args.stage_oracle_only:
         print("ORACLE_JSON " + json.dumps(stage_adaptive_oracle(args.quick)), flush=True)
+        return
+    if args.mips_mat_only:
+        _mips_materialize_sub(args.quick, "/tmp/military_mips_stream_ref.npz")
+        return
+    if args.mips_pallas_only:
+        _mips_pallas_sub(args.quick)
         return
 
     out = {

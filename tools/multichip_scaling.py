@@ -98,9 +98,9 @@ def worker(n_dev: int, quick: bool):
         retriever.query_tokens_batch(qtoks, top_k=10, top_k_retvr=k_retvr)
     out["fixed_q_per_s_total"] = round(iters * n_q / (time.time() - t0), 3)
 
-    # adaptive path is single-program (not shard_mapped yet) — measured
-    # here as the replication-cost control: its inputs are identical
-    # across device counts, so any variation is host/runtime noise
+    # adaptive path: shard_mapped over the data axis since round 4 (the
+    # retriever carries the mesh, so this measures the SHARDED engine's
+    # overhead curve, same semantics as the fixed row)
     tr = jnp.asarray(train_scores)
     kw = dict(total_budget=budget, n_rounds=n_rounds, top_k=10, train_scores=tr)
     retriever.query_tokens_adaptive_fused(qtoks, **kw)
@@ -153,7 +153,7 @@ def main():
             n: round(1.0 - rows[n]["fixed_q_per_s_total"] / base["fixed_q_per_s_total"], 4)
             for n in rows
         },
-        "adaptive_control_variation": {
+        "adaptive_overhead_vs_1dev": {
             n: round(
                 1.0 - rows[n]["adaptive_q_per_s_total"] / base["adaptive_q_per_s_total"], 4
             )
