@@ -25,9 +25,12 @@ from anncur_tpu.parallel.mesh import Mesh
 
 LOGGER = logging.getLogger(__name__)
 
-# above this, brute-force would materialize > ~0.5 GB score blocks;
-# switch to the streaming kernel
-_STREAMING_THRESHOLD = 32768
+# score-matrix bytes above which the streaming kernel takes over.
+# Measured at military scale (round 4, v5e, benchmarks/
+# military_scale.json): a 5.46 GB materialize beats streaming 3x when it
+# FITS HBM, so the cut is by q*n*4 bytes, not item count — 6 GB leaves
+# ~10 GB for inputs/workspace on a 16 GB chip.
+_MATERIALIZE_BYTES = 6e9
 
 
 class DenseIndex:
@@ -99,7 +102,7 @@ class DenseIndex:
             s, i = mips_topk_sharded(
                 queries, self._padded, k, self.mesh, n_valid=self._n_valid
             )
-        elif self.n > _STREAMING_THRESHOLD:
+        elif queries.shape[0] * self.n * 4 > _MATERIALIZE_BYTES:
             s, i = mips_topk_streaming(queries, self.embeds, k)
         else:
             s, i = mips_topk(queries, self.embeds, k)

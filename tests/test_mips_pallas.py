@@ -87,3 +87,39 @@ def test_maxmask_interpret_padding_and_ties(rng):
     # no duplicate ids within a row (mask removes exactly the picked entry)
     for r_ in range(4):
         assert len(set(np.asarray(i2)[r_].tolist())) == 7
+
+
+def test_maxmask_interpret_query_tiling(rng):
+    """q_tile < q exercises the 2-D grid (round 4: the q axis is tiled
+    so the VMEM working set is (q_tile, tile) regardless of total
+    queries) including query-axis padding when q is not tile-divisible."""
+    from anncur_tpu.ops.mips_pallas import mips_topk_pallas_maxmask
+
+    q = rng.standard_normal((10, 32)).astype(np.float32)  # 10 % 4 != 0
+    items = rng.standard_normal((300, 32)).astype(np.float32)
+    s1, i1 = mips_topk(jnp.asarray(q), jnp.asarray(items), 5)
+    s2, i2 = mips_topk_pallas_maxmask(
+        jnp.asarray(q), jnp.asarray(items), 5, tile=128, q_tile=4, interpret=True
+    )
+    assert s2.shape == (10, 5) and i2.shape == (10, 5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-4)
+    for r_ in range(10):
+        assert set(np.asarray(i2)[r_].tolist()) == set(np.asarray(i1)[r_].tolist())
+
+
+def test_fused_dispatch_by_score_matrix_size(rng):
+    """fused_mips_topk picks materialize under the byte budget and
+    streaming above it (military-scale measurement: materialize is 3x
+    faster when the matrix fits HBM); both must agree exactly."""
+    from anncur_tpu.ops.mips_pallas import fused_mips_topk
+
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    items = rng.standard_normal((500, 32)).astype(np.float32)
+    s_mat, i_mat = fused_mips_topk(
+        jnp.asarray(q), jnp.asarray(items), 9
+    )  # 8*500*4 = 16 kB << default budget -> materialize
+    s_str, i_str = fused_mips_topk(
+        jnp.asarray(q), jnp.asarray(items), 9, chunk=128, materialize_bytes=0
+    )  # forced streaming
+    np.testing.assert_allclose(np.asarray(s_str), np.asarray(s_mat), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_str), np.asarray(i_mat))

@@ -167,10 +167,12 @@ def _mips_pallas_sub(quick):
     print("PALLAS_JSON " + json.dumps(out), flush=True)
 
 
-def _run_sub(flag, quick, timeout_s, tag):
+def _run_sub(flag, quick, timeout_s, tag, extra=None):
     cmd = [sys.executable, os.path.abspath(__file__), flag]
     if quick:
         cmd.append("--quick")
+    if extra:
+        cmd.extend(extra)
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout_s)
     except subprocess.TimeoutExpired:
@@ -183,20 +185,16 @@ def _run_sub(flag, quick, timeout_s, tag):
     return {"error": f"{tag}: no result line:\n{r.stdout[-400:]}"}
 
 
-def stage_mips(quick):
-    """Streaming sweep runs FIRST in this (healthy-worker) process; the
-    naive materialize program and the Pallas kernel run in bounded
-    subprocesses afterwards (see _mips_materialize_sub for why)."""
-    import jax.numpy as jnp  # noqa: F401 — backend established by caller
-
+def _mips_stream_sub(quick, ref_npz):
+    """Subprocess body: the streaming chunk sweep (healthy fresh
+    worker), saving a 128-row reference for the other subs' exactness
+    checks."""
     from anncur_tpu.ops.mips_pallas import mips_topk_streaming
 
     q, n, d, k, chunks = _mips_shape(quick)
     queries, items = _mips_gen(q, n, d)
-    res = {"shape": {"q": q, "n": n, "d": d, "k": k}}
-
+    res = {"shape": {"q": q, "n": n, "d": d, "k": k}, "streaming": {}}
     best = None
-    res["streaming"] = {}
     for chunk in chunks:
         f = lambda: mips_topk_streaming(queries, items, k, chunk=chunk)
         s_s, i_s = f()
@@ -210,20 +208,37 @@ def stage_mips(quick):
             best = (chunk, dt, s_s, i_s)
     res["streaming_best_chunk"] = best[0]
     res["streaming_best_wall_s"] = round(best[1], 3)
-    ref_npz = "/tmp/military_mips_stream_ref.npz"
     np.savez(ref_npz, s=np.asarray(best[2][:128]))
+    print("STREAM_JSON " + json.dumps(res), flush=True)
 
-    res["materialize"] = _run_sub(
-        "--mips-mat-only", quick, 600 if quick else 2700, "MAT_JSON"
-    )
-    mat_s = res["materialize"].get("wall_s")
-    if mat_s is not None:
-        res["streaming_vs_materialize_speedup"] = round(mat_s / best[1], 2)
-        res["exactness"] = res["materialize"].pop("exactness", None)
 
-    res["pallas_maxmask"] = _run_sub(
-        "--mips-pallas-only", quick, 900 if quick else 3600, "PALLAS_JSON"
-    )
+def stage_mips(quick, existing=None):
+    """Each program family in its OWN bounded subprocess: the 42-min
+    worker wedge (first materialize attempt) and the build-stage hang
+    that followed two failed remote Mosaic compiles showed that a
+    client that shares a process with a wedged/crashed program family
+    can block indefinitely. The orchestrator never initializes the
+    backend; completed sections are reused on resume."""
+    res = dict(existing or {})
+    ref_npz = "/tmp/military_mips_stream_ref.npz"
+    if "streaming" not in res:
+        res.update(
+            _run_sub("--mips-stream-only", quick, 900 if quick else 3600, "STREAM_JSON")
+        )
+    if "materialize" not in res:
+        res["materialize"] = _run_sub(
+            "--mips-mat-only", quick, 600 if quick else 2700, "MAT_JSON"
+        )
+        mat_s = res["materialize"].get("wall_s")
+        if mat_s is not None:
+            res["streaming_vs_materialize_speedup"] = round(
+                mat_s / res["streaming_best_wall_s"], 2
+            )
+            res["exactness"] = res["materialize"].pop("exactness", None)
+    if "pallas_maxmask" not in res:
+        res["pallas_maxmask"] = _run_sub(
+            "--mips-pallas-only", quick, 900 if quick else 3600, "PALLAS_JSON"
+        )
     return res
 
 
@@ -268,6 +283,27 @@ def stage_build(quick, build_ments):
         "pairs_per_s": round(build_ments * n_ents / dt, 1),
         "note": "full military entity axis; mention rows subsampled for wall-clock",
     }, (ce, params, mesh, ent, spec, lm)
+
+
+def _serving_setup_unbuilt(quick):
+    """Encoder/corpus setup for --skip-build (serving needs them anyway,
+    just untimed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anncur_tpu.models.bert import BertSpec
+    from anncur_tpu.models.crossencoder import CrossEncoder
+    from anncur_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    if quick:
+        return stage_build(True, 8)[1]
+    spec = BertSpec()
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.bfloat16)
+    params = ce.init(jax.random.PRNGKey(0))
+    mesh = make_mesh((len(jax.devices()),), ("data",))
+    ent = rng.integers(1, spec.vocab_size, size=(MILITARY_ENTS, 128)).astype(np.int32)
+    return (ce, params, mesh, ent, spec, 128)
 
 
 def stage_serving(quick, built):
@@ -393,12 +429,26 @@ def main():
                     help="skip the ~20 min bert-base build stage")
     ap.add_argument("--stage-oracle-only", action="store_true",
                     help="internal: CPU subprocess for stage 4")
+    ap.add_argument("--mips-stream-only", action="store_true",
+                    help="internal: bounded subprocess for the streaming "
+                    "MIPS sweep")
+    ap.add_argument("--stage-build-serving-only", action="store_true",
+                    help="internal: bounded subprocess for the offline "
+                    "build + serving stages")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore an existing artifact and re-measure every "
+                    "stage (default: completed stages are reused)")
     ap.add_argument("--mips-mat-only", action="store_true",
                     help="internal: bounded subprocess for the naive "
                     "materialize MIPS program")
     ap.add_argument("--mips-pallas-only", action="store_true",
                     help="internal: bounded subprocess for the Pallas "
                     "max-and-mask kernel")
+    ap.add_argument("--refresh-pallas", action="store_true",
+                    help="re-run ONLY the Pallas kernel subprocess and "
+                    "update stages.mips.pallas_maxmask in the existing "
+                    "artifact (kernel iterations without repaying the "
+                    "20-min build stage)")
     ap.add_argument(
         "--out",
         default=os.path.join(
@@ -411,13 +461,21 @@ def main():
     if args.quick and "military_scale.json" in os.path.basename(args.out):
         args.out = args.out.replace(".json", "_quick.json")
 
-    import jax
+    worker_mode = (
+        args.stage_oracle_only or args.mips_mat_only or args.mips_pallas_only
+        or args.mips_stream_only or args.stage_build_serving_only
+    )
+    if worker_mode:
+        import jax
 
-    if args.quick or args.stage_oracle_only:
-        jax.config.update("jax_platforms", "cpu")
+        if args.quick or args.stage_oracle_only:
+            jax.config.update("jax_platforms", "cpu")
 
     if args.stage_oracle_only:
         print("ORACLE_JSON " + json.dumps(stage_adaptive_oracle(args.quick)), flush=True)
+        return
+    if args.mips_stream_only:
+        _mips_stream_sub(args.quick, "/tmp/military_mips_stream_ref.npz")
         return
     if args.mips_mat_only:
         _mips_materialize_sub(args.quick, "/tmp/military_mips_stream_ref.npz")
@@ -425,62 +483,81 @@ def main():
     if args.mips_pallas_only:
         _mips_pallas_sub(args.quick)
         return
+    if args.stage_build_serving_only:
+        import jax.numpy as jnp
 
+        # recovery guard: a crashed worker from a previous stage costs
+        # this first op 9-21 min instead of poisoning the timings below
+        _force(jnp.ones((8, 8)) + 1.0)
+        bs = {}
+        if args.skip_build:
+            bs["offline_build"], built = None, _serving_setup_unbuilt(args.quick)
+        else:
+            build_ments = int(os.environ.get("MILITARY_BUILD_MENTS", "32"))
+            bs["offline_build"], built = stage_build(args.quick, build_ments)
+        bs["serving"] = stage_serving(args.quick, built)
+        print("BS_JSON " + json.dumps(bs), flush=True)
+        return
+    if args.refresh_pallas:
+        with open(args.out) as f:
+            existing = json.load(f)
+        existing["stages"]["mips"]["pallas_maxmask"] = _run_sub(
+            "--mips-pallas-only", args.quick, 900 if args.quick else 3600,
+            "PALLAS_JSON",
+        )
+        with open(args.out, "w") as f:
+            json.dump(existing, f, indent=1)
+        print(json.dumps({"pallas_maxmask": existing["stages"]["mips"]["pallas_maxmask"]}))
+        print(f"updated {args.out}")
+        return
+
+    # ---- orchestrator: NEVER initializes a backend; every stage runs in
+    # a bounded subprocess; partial results are flushed to the artifact
+    # after each stage and reused on resume (see stage_mips docstring)
     out = {
-        "platform": jax.devices()[0].platform,
+        "platform": "cpu" if args.quick else "tpu",
         "reference_world": "military (zeshel_utils.py:6-42): 104,520 ents / 13,063 test mentions",
         "stages": {},
     }
+    if os.path.exists(args.out) and not args.fresh:
+        with open(args.out) as f:
+            prior = json.load(f)
+        out["stages"] = prior.get("stages", {})
+        if out["stages"]:
+            print(f"# resuming: reusing stages {sorted(out['stages'])} from {args.out}",
+                  flush=True)
 
-    out["stages"]["mips"] = stage_mips(args.quick)
-    print(json.dumps({"mips": out["stages"]["mips"]}), flush=True)
+    def _flush():
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
-    built = None
-    if not args.skip_build:
-        build_ments = int(os.environ.get("MILITARY_BUILD_MENTS", "32"))
-        out["stages"]["offline_build"], built = stage_build(args.quick, build_ments)
-        print(json.dumps({"offline_build": out["stages"]["offline_build"]}), flush=True)
-    else:
-        _, built = stage_build(True, 8) if args.quick else (None, None)
+    mips_prior = out["stages"].get("mips")
+    if not (mips_prior and "pallas_maxmask" in mips_prior):
+        out["stages"]["mips"] = stage_mips(args.quick, existing=mips_prior)
+        print(json.dumps({"mips": out["stages"]["mips"]}), flush=True)
+        _flush()
 
-    if built is None and args.skip_build and not args.quick:
-        # serving needs the encoder/corpus anyway; build a fresh setup
-        # without timing the builder
-        import jax.numpy as jnp
+    if "serving" not in out["stages"]:
+        bs = _run_sub(
+            "--stage-build-serving-only", args.quick, 1800 if args.quick else 7200,
+            "BS_JSON", extra=(["--skip-build"] if args.skip_build else None),
+        )
+        if "error" in bs:
+            out["stages"]["build_serving_error"] = bs["error"]
+        else:
+            if bs.get("offline_build"):
+                out["stages"]["offline_build"] = bs["offline_build"]
+            out["stages"]["serving"] = bs["serving"]
+        print(json.dumps({"build_serving": bs}), flush=True)
+        _flush()
 
-        from anncur_tpu.models.bert import BertSpec
-        from anncur_tpu.models.crossencoder import CrossEncoder
-        from anncur_tpu.parallel import make_mesh
-
-        rng = np.random.default_rng(0)
-        spec = BertSpec()
-        ce = CrossEncoder(spec=spec, compute_dtype=jnp.bfloat16)
-        params = ce.init(jax.random.PRNGKey(0))
-        mesh = make_mesh((len(jax.devices()),), ("data",))
-        ent = rng.integers(1, spec.vocab_size, size=(MILITARY_ENTS, 128)).astype(np.int32)
-        built = (ce, params, mesh, ent, spec, 128)
-
-    out["stages"]["serving"] = stage_serving(args.quick, built)
-    print(json.dumps({"serving": out["stages"]["serving"]}), flush=True)
-
-    if jax.devices()[0].platform == "cpu":
-        out["stages"]["adaptive_oracle"] = stage_adaptive_oracle(args.quick)
-    else:
-        sub = [sys.executable, os.path.abspath(__file__), "--stage-oracle-only"]
-        if args.quick:
-            sub.append("--quick")
-        r = subprocess.run(sub, capture_output=True, text=True, timeout=7200)
-        if r.returncode != 0:
-            raise RuntimeError(
-                f"oracle subprocess failed:\n{r.stdout[-2000:]}{r.stderr[-2000:]}"
-            )
-        line = next(l for l in r.stdout.splitlines() if l.startswith("ORACLE_JSON "))
-        out["stages"]["adaptive_oracle"] = json.loads(line[len("ORACLE_JSON "):])
-    print(json.dumps({"adaptive_oracle": out["stages"]["adaptive_oracle"]}), flush=True)
-
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
+    if "adaptive_oracle" not in out["stages"]:
+        out["stages"]["adaptive_oracle"] = _run_sub(
+            "--stage-oracle-only", args.quick, 7200, "ORACLE_JSON"
+        )
+        print(json.dumps({"adaptive_oracle": out["stages"]["adaptive_oracle"]}), flush=True)
+        _flush()
     print(f"wrote {args.out}")
 
 
