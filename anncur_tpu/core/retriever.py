@@ -904,6 +904,13 @@ class CurRetriever:
         it toward ~1e-3 for matrices whose ranking signal sits near the
         device matmul noise floor (see CurRetriever.build docstring).
 
+        Keep the per-round candidate width (total_budget / n_rounds)
+        <= 64 on the remote TPU backend: width-100 rounds (budget 300 at
+        3 rounds, q=512) crashed the axon worker deterministically,
+        while the same budget at 5 rounds (width 60) runs fine — and at
+        equal budget more rounds give equal-or-better recall
+        (benchmarks/adaptive_matched_recall.json; CLAUDE.md gotcha).
+
         ``escalate_budget`` (> total_budget) turns on PER-QUERY EARLY
         STOPPING (VERDICT r3 item 1b): after the base rounds, queries
         whose top-k id set was still changing in the last round resume

@@ -97,11 +97,137 @@ def early_stop_sweep(full, train, fixed_anc, fixed_retvr, seeds, configs):
     return out
 
 
+def compute_headline(out, max_round_width=64):
+    """Fill the headline_* fields of an artifact dict in place.
+
+    Headline for bench.py — WORST CASE across scenarios (round-4
+    policy, VERDICT r3 weak #1): per scenario take the best (smallest)
+    matched budget over its method/round variants; the headline quotes
+    the scenario where that best is LARGEST, so the budget bench line 3
+    runs is sufficient on every committed spectrum (including the
+    trained-CE matrix when present).
+
+    ``max_round_width`` excludes variants whose per-round candidate
+    width (budget / n_rounds) exceeds the bound: wide-round adaptive
+    programs crash the remote TPU worker (round 4, measured at q=512:
+    budget-300 3-round = width-100 rounds killed the worker 2/2;
+    width-60 (300@5r) and width-30 (150@5r) ran fine — and at equal
+    budget MORE rounds give equal-or-better recall anyway, e.g. rank400
+    @300: 0.37 (3r) vs 0.47 (5r)). Width, not budget, is the headline
+    constraint."""
+
+    def _variants(scen):
+        v = {}
+        for mk, r in scen.items():
+            if not (isinstance(r, dict) and r.get("matched_budget") is not None):
+                continue
+            if r["matched_budget"] / r["n_rounds"] > max_round_width:
+                continue
+            v[mk] = r
+        return v
+
+    per_scen_best = {}
+    for key, scen in out["scenarios"].items():
+        matched = _variants(scen)
+        if not matched:
+            continue
+
+        # stated policy: smallest budget, ties -> fewer rounds (fewer
+        # sequential solve/completion steps = higher q/s at equal CE
+        # work), cur before axn (a lexical key would put 'axn' first
+        # and order 'r10' before 'r3')
+        def _order(mk):
+            r = matched[mk]
+            return (
+                r["matched_budget"],
+                r["n_rounds"],
+                0 if mk.startswith("cur") else 1,
+            )
+
+        per_scen_best[key] = min(matched, key=_order)
+    if per_scen_best:
+        worst_key = max(
+            per_scen_best,
+            key=lambda k: out["scenarios"][k][per_scen_best[k]]["matched_budget"],
+        )
+        res = out["scenarios"][worst_key][per_scen_best[worst_key]]
+        out["headline_scenario"] = worst_key
+        out["headline_method"] = per_scen_best[worst_key].split("_r")[0]
+        out["headline_n_rounds"] = res["n_rounds"]
+        out["headline_matched_budget"] = res["matched_budget"]
+        out["headline_axn_rank"] = res.get("axn_rank")
+        out["headline_policy"] = (
+            f"worst-case across scenarios; round width <= {max_round_width}"
+        )
+        out["per_scenario_best"] = {
+            k: out["scenarios"][k][v]["matched_budget"]
+            for k, v in per_scen_best.items()
+        }
+    else:
+        out["headline_scenario"] = None
+
+    # early-stop headline: the config that matches fixed recall on
+    # EVERY scenario with the smallest worst-case average budget — one
+    # engine config, per-query-adaptive cost (VERDICT r3 item 1b)
+    es_ok = None
+    es_scens = [s for s in out["scenarios"].values() if "early_stop" in s]
+    common_cks = set.intersection(
+        *(set(s["early_stop"]["configs"]) for s in es_scens)
+    ) if es_scens else set()
+    for ck in sorted(common_cks):
+        rows = [s["early_stop"]["configs"][ck] for s in es_scens]
+        r0 = rows[0]
+        if (
+            max(r0["base_budget"] / r0["base_rounds"],
+                r0["escalate_budget"] / max(1, r0["escalate_rounds"]))
+            > max_round_width
+        ):
+            continue
+        if all(r["matches_fixed"] for r in rows):
+            worst_avg = max(r["avg_budget"] for r in rows)
+            if es_ok is None or worst_avg < es_ok["worst_avg_budget"]:
+                es_ok = {
+                    "config": ck,
+                    "base_budget": r0["base_budget"],
+                    "base_rounds": r0["base_rounds"],
+                    "escalate_budget": r0["escalate_budget"],
+                    "escalate_rounds": r0["escalate_rounds"],
+                    "worst_avg_budget": worst_avg,
+                    "per_scenario_avg_budget": {
+                        k: s["early_stop"]["configs"][ck]["avg_budget"]
+                        for k, s in out["scenarios"].items()
+                        if "early_stop" in s
+                    },
+                }
+    out["headline_early_stop"] = es_ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CI smoke)")
+    ap.add_argument(
+        "--reheadline", action="store_true",
+        help="recompute only the headline_* fields of an existing "
+        "artifact (the sweeps are expensive; the headline policy is not)",
+    )
+    ap.add_argument(
+        "--max-round-width", type=int, default=64,
+        help="exclude variants whose per-round candidate width exceeds "
+        "this (wide-round programs crash the remote TPU worker; see "
+        "compute_headline docstring)",
+    )
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks", "adaptive_matched_recall.json"))
     args = ap.parse_args()
+
+    if args.reheadline:
+        with open(args.out) as f:
+            out = json.load(f)
+        compute_headline(out, args.max_round_width)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps({k: v for k, v in out.items() if k.startswith("headline")}))
+        print(f"re-headlined {args.out}")
+        return
 
     if args.quick and "adaptive_matched_recall.json" in os.path.basename(args.out):
         # never let the CI smoke clobber the REAL evidence bench.py
@@ -212,84 +338,7 @@ def main():
         print(json.dumps({f"{scen_name}.early_stop": scen["early_stop"]}), flush=True)
         out["scenarios"][scen_name] = scen
 
-    # headline for bench.py — WORST CASE across scenarios (round-4
-    # policy, VERDICT r3 weak #1): per scenario take the best (smallest)
-    # matched budget over its method/round variants; the headline quotes
-    # the scenario where that best is LARGEST, so the budget bench line 3
-    # runs is sufficient on every committed spectrum (including the
-    # trained-CE matrix when present).
-    def _variants(scen):
-        return {
-            mk: r
-            for mk, r in scen.items()
-            if isinstance(r, dict) and r.get("matched_budget") is not None
-        }
-
-    per_scen_best = {}
-    for key, scen in out["scenarios"].items():
-        matched = _variants(scen)
-        if not matched:
-            continue
-
-        # stated policy: smallest budget, ties -> fewer rounds, cur
-        # before axn (a lexical key would put 'axn' first and order
-        # 'r10' before 'r3')
-        def _order(mk):
-            r = matched[mk]
-            return (
-                r["matched_budget"],
-                r["n_rounds"],
-                0 if mk.startswith("cur") else 1,
-            )
-
-        per_scen_best[key] = min(matched, key=_order)
-    if per_scen_best:
-        worst_key = max(
-            per_scen_best,
-            key=lambda k: out["scenarios"][k][per_scen_best[k]]["matched_budget"],
-        )
-        res = out["scenarios"][worst_key][per_scen_best[worst_key]]
-        out["headline_scenario"] = worst_key
-        out["headline_method"] = per_scen_best[worst_key].split("_r")[0]
-        out["headline_n_rounds"] = res["n_rounds"]
-        out["headline_matched_budget"] = res["matched_budget"]
-        out["headline_axn_rank"] = res.get("axn_rank")
-        out["headline_policy"] = "worst-case across scenarios"
-        out["per_scenario_best"] = {
-            k: out["scenarios"][k][v]["matched_budget"]
-            for k, v in per_scen_best.items()
-        }
-    else:
-        out["headline_scenario"] = None
-
-    # early-stop headline: the config that matches fixed recall on
-    # EVERY scenario with the smallest worst-case average budget — one
-    # engine config, per-query-adaptive cost (VERDICT r3 item 1b)
-    es_ok = None
-    for base, base_rounds, ceiling, esc_rounds in es_configs:
-        ck = f"b{base}r{base_rounds}_e{ceiling}r{esc_rounds}"
-        rows = [
-            s["early_stop"]["configs"][ck]
-            for s in out["scenarios"].values()
-            if "early_stop" in s
-        ]
-        if rows and all(r["matches_fixed"] for r in rows):
-            worst_avg = max(r["avg_budget"] for r in rows)
-            if es_ok is None or worst_avg < es_ok["worst_avg_budget"]:
-                es_ok = {
-                    "config": ck,
-                    "base_budget": base,
-                    "base_rounds": base_rounds,
-                    "escalate_budget": ceiling,
-                    "escalate_rounds": esc_rounds,
-                    "worst_avg_budget": worst_avg,
-                    "per_scenario_avg_budget": {
-                        k: s["early_stop"]["configs"][ck]["avg_budget"]
-                        for k, s in out["scenarios"].items()
-                        if "early_stop" in s
-                    },
-                }
-    out["headline_early_stop"] = es_ok
+    compute_headline(out, args.max_round_width)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -19,7 +19,10 @@ Stages (writes benchmarks/military_scale.json):
 3. serving       — CurRetriever fixed + fused-adaptive queries over a
                    104,520-item corpus (bert-base, real CE calls):
                    shape-cliff check + q/s at the military item axis.
-4. adaptive_oracle — recall-vs-budget at (128 q, 104k items) rank-200
+4. serving_batch — adaptive serving at q=512 (the engine's MXU-filling
+                   batch) at the military matched budgets, full item
+                   axis: the honest military-scale adaptive q/s.
+5. adaptive_oracle — recall-vs-budget at (128 q, 104k items) rank-200
                    synthetic, CPU subprocess (the oracle program family
                    can crash the remote TPU worker; CLAUDE.md).
 
@@ -380,6 +383,79 @@ def stage_serving(quick, built):
     return out
 
 
+def stage_serving_batch(quick):
+    """Adaptive serving at the military item axis at PRODUCTION batch.
+
+    The serving stage's q=32 adaptive run (2.4 q/s) underfills the MXU —
+    the engine's narrow per-round CE batches need many queries to fill a
+    step (CLAUDE.md: q=32 -> 11.4, q=512 -> 20.3 q/s at yugioh scale).
+    This stage measures the honest military-scale serving numbers: q=512
+    at the budgets the military oracle matched (200) and the headline
+    worst-case (300), 5 rounds, full 104,520-item corpus."""
+    import jax
+    import jax.numpy as jnp
+
+    from anncur_tpu.core.cur import build_cur
+    from anncur_tpu.core.retriever import CurRetriever
+    from anncur_tpu.models.tokenizer import WordPieceTokenizer, make_test_vocab
+
+    built = _serving_setup_unbuilt(quick)
+    ce, params, mesh, ent, spec, lm = built
+    rng = np.random.default_rng(1)
+    n_items = ent.shape[0]
+    if quick:
+        n_train, k_i, n_q, rank = 40, 20, 16, 8
+        budgets, n_rounds = (20,), 3
+    else:
+        n_train, k_i, n_q, rank = 500, 500, 512, 200
+        budgets = tuple(
+            int(b) for b in os.environ.get("MS_BATCH_BUDGETS", "200,300").split(",")
+        )
+        n_q = int(os.environ.get("MS_BATCH_NQ", str(n_q)))
+        n_rounds = 5
+    train_scores = (
+        rng.standard_normal((n_train, rank)) @ rng.standard_normal((rank, n_items))
+    ).astype(np.float32)
+    anchors = np.asarray(sorted(rng.choice(n_items, k_i, replace=False)))
+    index = build_cur(
+        rows=jnp.asarray(train_scores),
+        cols=jnp.asarray(train_scores[:, anchors]),
+        row_idxs=jnp.arange(n_train),
+        col_idxs=jnp.asarray(anchors),
+        approx_preference="rows",
+        validate=False,
+    )
+    retriever = CurRetriever(
+        encoder=ce,
+        params=params,
+        tokenizer=WordPieceTokenizer(make_test_vocab()),
+        item_tokens=ent,
+        index=index,
+        anchor_item_ids=anchors,
+    )
+    qtoks = rng.integers(1, spec.vocab_size, size=(n_q, lm)).astype(np.int32)
+    tr_dev = jnp.asarray(train_scores)
+    out = {"n_items": n_items, "n_q": n_q, "n_rounds": n_rounds, "runs": {}}
+    for budget in budgets:
+        kw = dict(
+            total_budget=budget, n_rounds=n_rounds, top_k=10,
+            train_scores=tr_dev,
+        )
+        t0 = time.time()
+        retriever.query_tokens_adaptive_fused(qtoks, **kw)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        retriever.query_tokens_adaptive_fused(qtoks, **kw)
+        dt = time.time() - t0
+        out["runs"][str(budget)] = {
+            "compile_s": round(compile_s, 1),
+            "q_per_s": round(n_q / dt, 2),
+            "wall_s": round(dt, 2),
+        }
+        print(f"# serving_batch budget={budget}: {n_q / dt:.2f} q/s", flush=True)
+    return out
+
+
 def stage_adaptive_oracle(quick):
     from anncur_tpu.core.adaptive_fused import (
         adaptive_recall_oracle,
@@ -435,6 +511,9 @@ def main():
     ap.add_argument("--stage-build-serving-only", action="store_true",
                     help="internal: bounded subprocess for the offline "
                     "build + serving stages")
+    ap.add_argument("--serving-batch-only", action="store_true",
+                    help="internal: bounded subprocess for the batch-512 "
+                    "adaptive serving stage")
     ap.add_argument("--fresh", action="store_true",
                     help="ignore an existing artifact and re-measure every "
                     "stage (default: completed stages are reused)")
@@ -464,6 +543,7 @@ def main():
     worker_mode = (
         args.stage_oracle_only or args.mips_mat_only or args.mips_pallas_only
         or args.mips_stream_only or args.stage_build_serving_only
+        or args.serving_batch_only
     )
     if worker_mode:
         import jax
@@ -482,6 +562,12 @@ def main():
         return
     if args.mips_pallas_only:
         _mips_pallas_sub(args.quick)
+        return
+    if args.serving_batch_only:
+        import jax.numpy as jnp
+
+        _force(jnp.ones((8, 8)) + 1.0)  # recovery guard (see below)
+        print("SB_JSON " + json.dumps(stage_serving_batch(args.quick)), flush=True)
         return
     if args.stage_build_serving_only:
         import jax.numpy as jnp
@@ -550,6 +636,14 @@ def main():
                 out["stages"]["offline_build"] = bs["offline_build"]
             out["stages"]["serving"] = bs["serving"]
         print(json.dumps({"build_serving": bs}), flush=True)
+        _flush()
+
+    if "serving_batch" not in out["stages"]:
+        out["stages"]["serving_batch"] = _run_sub(
+            "--serving-batch-only", args.quick, 1800 if args.quick else 7200,
+            "SB_JSON",
+        )
+        print(json.dumps({"serving_batch": out["stages"]["serving_batch"]}), flush=True)
         _flush()
 
     if "adaptive_oracle" not in out["stages"]:
