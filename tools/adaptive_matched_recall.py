@@ -243,7 +243,11 @@ def main():
         es_configs = ((30, 3, 120, 3),)
     else:
         n_q, n_train, n_items = 128, 500, 10000
-        budgets = (60, 100, 150, 200, 300, 400, 600)
+        # 250 added round-4: the worst-case scenario (rank400) matches
+        # somewhere in the 200-300 gap, and every grid point below 300
+        # the headline can prove raises bench line 3's q/s ~budget-
+        # proportionally
+        budgets = (60, 100, 150, 200, 250, 300, 400, 600)
         fixed_anc, fixed_retvr = 500, 100
         seeds = (0, 1, 2)
         # effective rank regimes: well-approximable / realistic / hard
@@ -251,6 +255,7 @@ def main():
         # early-stop grid: (base, base_rounds, ceiling, escalate_rounds)
         es_configs = (
             (60, 5, 300, 5),
+            (100, 5, 250, 8),
             (100, 5, 300, 5),
             (100, 5, 450, 5),
             (150, 5, 450, 5),
