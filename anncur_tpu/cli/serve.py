@@ -222,6 +222,14 @@ def main(argv=None):
 
     import jax
 
+    from anncur_tpu.utils.platform import enable_compilation_cache
+
+    # persistent XLA compile cache: serving pays 36-115 s of remote
+    # compile before the first query on every cold start
+    # (benchmarks/military_scale.json); warm restarts read from disk
+    # instead (ANNCUR_COMPILE_CACHE=off to disable)
+    enable_compilation_cache()
+
     tokenizer = WordPieceTokenizer.from_vocab_file(args.vocab_file)
     spec = BertSpec(
         vocab_size=tokenizer.vocab_size,

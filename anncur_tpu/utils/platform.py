@@ -15,6 +15,45 @@ import os
 import re
 
 
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    """Turn on JAX's persistent XLA compilation cache.
+
+    Remote (axon) compiles cost 60-90 s each and serving at 104k items
+    pays 36-115 s of compile before the first query on EVERY process
+    start (benchmarks/military_scale.json) — the cache converts those
+    to disk reads across restarts. Call AFTER ``import jax`` but any
+    time before the first compile. Safe no-op if the backend's PJRT
+    plugin cannot serialize executables (jax logs and skips).
+
+    Respects ANNCUR_COMPILE_CACHE (path, or "0"/"off" to disable).
+    Returns the cache dir in effect ("" when disabled).
+    """
+    env = os.environ.get("ANNCUR_COMPILE_CACHE", "")
+    if env.lower() in ("0", "off", "none"):
+        return ""
+    import jax
+
+    if not env and "cpu" in str(jax.config.jax_platforms or ""):
+        # host-CPU compiles are cheap, and reloading XLA:CPU AOT results
+        # warns about machine-feature mismatches (potential SIGILL);
+        # the win is the 60-90 s REMOTE compiles — opt in explicitly via
+        # ANNCUR_COMPILE_CACHE=<dir> to cache CPU programs anyway
+        return ""
+    cache_dir = env or cache_dir or os.path.expanduser("~/.cache/anncur_tpu/xla")
+    os.makedirs(cache_dir, exist_ok=True)
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache everything that took >1s to compile (the default 60s floor
+    # would skip most of our 5-50s CPU-mesh compiles; remote compiles
+    # all clear 1s anyway)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # knob name varies across jax versions
+        pass
+    return cache_dir
+
+
 def force_cpu_devices(n_devices: int, verify: bool = True) -> None:
     """Must be called BEFORE the first jax operation."""
     flag = f"--xla_force_host_platform_device_count={n_devices}"

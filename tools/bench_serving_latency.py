@@ -31,7 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_retriever():
+def build_retriever(tiny=False, n_items=10000):
     import jax
     import jax.numpy as jnp
 
@@ -41,11 +41,14 @@ def build_retriever():
     from anncur_tpu.models.crossencoder import CrossEncoder
     from anncur_tpu.models.tokenizer import WordPieceTokenizer, make_test_vocab
 
-    spec = BertSpec()
+    spec = (
+        BertSpec.tiny(vocab_size=512, max_position_embeddings=256)
+        if tiny else BertSpec()
+    )
     ce = CrossEncoder(spec=spec, cross_enc_type="default", compute_dtype=jnp.bfloat16)
     params = ce.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
-    n_items, n_train, k_i = 10000, 500, 500
+    n_train, k_i = 500, 500
     item_toks = rng.integers(1, spec.vocab_size, size=(n_items, 128)).astype(np.int32)
     train_scores = (
         rng.standard_normal((n_train, 16)) @ rng.standard_normal((16, n_items))
@@ -101,6 +104,10 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    from anncur_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
 
     # absorb any pending worker recovery (post-crash the first program of a
     # fresh process can block 9-21 min) before anything is timed

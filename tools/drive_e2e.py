@@ -32,6 +32,10 @@ if backend == "cpu":
 
 import jax
 
+from anncur_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -548,8 +548,11 @@ def main():
     if worker_mode:
         import jax
 
+        from anncur_tpu.utils.platform import enable_compilation_cache
+
         if args.quick or args.stage_oracle_only:
             jax.config.update("jax_platforms", "cpu")
+        enable_compilation_cache()  # no-op on cpu (platform.py)
 
     if args.stage_oracle_only:
         print("ORACLE_JSON " + json.dumps(stage_adaptive_oracle(args.quick)), flush=True)

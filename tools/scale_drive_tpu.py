@@ -61,8 +61,11 @@ def main():
 
     import jax
 
+    from anncur_tpu.utils.platform import enable_compilation_cache
+
     if args.quick or args.stage4_only:
         jax.config.update("jax_platforms", "cpu")
+    enable_compilation_cache()  # no-op on cpu (platform.py)
     import jax.numpy as jnp
 
     from anncur_tpu.core.adaptive_fused import adaptive_recall_oracle, fixed_anchor_recall

@@ -45,9 +45,10 @@ def build_server(tmp_dir, n_dev=8):
     """Tiny-world HTTP server in this process (same recipe as
     tests/test_cli3.py::test_serve_cli_http_mode). Returns (base_url,
     server, entity_titles)."""
-    from anncur_tpu.utils.platform import force_cpu_devices
+    from anncur_tpu.utils.platform import enable_compilation_cache, force_cpu_devices
 
     force_cpu_devices(n_dev)
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
