@@ -560,7 +560,10 @@ def _serve_http(args, retriever, ce, tokenize, answer):
     server = server_cls((host or "127.0.0.1", int(port)), Handler)
     LOGGER.info("HTTP serving on %s:%d (mode=%s)", *server.server_address[:2], args.mode)
     # test/embedding hook: callers running main() in a thread can reach
-    # the live server (actual port with ':0', shutdown()) through here
+    # the live server (actual port with ':0', shutdown()) through here;
+    # .retriever lets the soak harness count compiled fused programs
+    # (the no-mid-soak-recompile contract, tools/serving_soak.py)
+    server.retriever = retriever
     _serve_http.last_server = server
     try:
         server.serve_forever()

@@ -206,6 +206,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (CI smoke)")
     ap.add_argument(
+        "--only", default="",
+        help="comma-separated scenario names: re-sweep ONLY these, keep "
+        "the rest from the existing artifact (incremental update)",
+    )
+    ap.add_argument(
         "--reheadline", action="store_true",
         help="recompute only the headline_* fields of an existing "
         "artifact (the sweeps are expensive; the headline policy is not)",
@@ -269,22 +274,41 @@ def main():
         "fixed": {"n_anchors": fixed_anc, "top_k_retvr": fixed_retvr},
         "scenarios": {},
     }
-    # scenario family: three synthetic spectra + (when the artifact from
-    # tools/make_trained_ce_matrix.py exists) a TRAINED cross-encoder's
-    # matrix — round 3's calibration was synthetic-only and the scale
-    # drive hinted trained-CE spectra need ~2x the budget (VERDICT r3
-    # weak #1); the headline below is now the WORST CASE across all of
-    # these, so bench line 3's budget is conservative by construction.
-    scenarios_in = [(f"rank{r}", r) for r in ranks]
-    tce_path = os.path.join(os.path.dirname(args.out), "trained_ce_matrix.npz")
-    if args.quick:
-        tce_path = tce_path.replace(".npz", "_quick.npz")
-    if os.path.exists(tce_path):
-        scenarios_in.append(("trained_ce", None))
-    else:
-        print(f"# no {tce_path}; trained-CE scenario skipped", file=sys.stderr)
+    # scenario family: three synthetic spectra + a TRAINED cross-
+    # encoder's matrix per trained_ce_matrix*.npz artifact from
+    # tools/make_trained_ce_matrix.py (round 4: the disjoint-title world,
+    # 97%-energy rank 15; round 5 adds the shared-title hard world,
+    # heavy-tailed — VERDICT r4 item 2). The headline below is the WORST
+    # CASE across all of these, so bench line 3's budget is conservative
+    # by construction.
+    scenarios_in = [(f"rank{r}", r, None) for r in ranks]
+    bench_dir = os.path.dirname(args.out)
+    for fname, scen in (
+        ("trained_ce_matrix.npz", "trained_ce"),
+        ("trained_ce_matrix_hard.npz", "trained_ce_hard"),
+    ):
+        tce_path = os.path.join(bench_dir, fname)
+        if args.quick:
+            tce_path = tce_path.replace(".npz", "_quick.npz")
+        if os.path.exists(tce_path):
+            scenarios_in.append((scen, None, tce_path))
+        else:
+            print(f"# no {tce_path}; {scen} scenario skipped", file=sys.stderr)
 
-    for scen_name, rank in scenarios_in:
+    if args.only:
+        # incremental: keep every other scenario from the existing
+        # artifact, re-sweep only the named ones (sweeps are ~10 min per
+        # scenario; adding one must not re-pay all of them)
+        with open(args.out) as f:
+            prev = json.load(f)
+        out["scenarios"] = prev.get("scenarios", {})
+        want = set(args.only.split(","))
+        missing = want - {s[0] for s in scenarios_in}
+        if missing:
+            raise SystemExit(f"--only names unknown scenarios: {sorted(missing)}")
+        scenarios_in = [s for s in scenarios_in if s[0] in want]
+
+    for scen_name, rank, tce_path in scenarios_in:
         if rank is not None:
             full, train = make_matrix(7, n_q, n_train, n_items, rank, noise=0.05)
             tce_meta = None

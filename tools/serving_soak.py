@@ -41,10 +41,12 @@ def _rss_mb() -> float:
     return float("nan")
 
 
-def build_server(tmp_dir, n_dev=8):
+def build_server(tmp_dir, n_dev=8, mode="fixed"):
     """Tiny-world HTTP server in this process (same recipe as
-    tests/test_cli3.py::test_serve_cli_http_mode). Returns (base_url,
-    server, entity_titles)."""
+    tests/test_cli3.py::test_serve_cli_http_mode). ``mode='adaptive'``
+    serves the fused multi-round engine WITH per-query early-stop
+    escalation — the flagship serving path, soaked under churn since
+    round 5 (VERDICT r4 item 6). Returns (base_url, server)."""
     from anncur_tpu.utils.platform import enable_compilation_cache, force_cpu_devices
 
     force_cpu_devices(n_dev)
@@ -92,6 +94,9 @@ def build_server(tmp_dir, n_dev=8):
             "--batch", "2", "--max_query_len", "16",
             "--hidden_size", "32", "--num_layers", "1", "--num_heads", "2",
             "--intermediate_size", "64"]
+    if mode == "adaptive":
+        argv += ["--mode", "adaptive", "--budget", "8", "--rounds", "3",
+                 "--escalate_budget", "16", "--escalate_rounds", "2"]
     serve._serve_http.last_server = None
     t = threading.Thread(target=serve.main, args=(argv,), daemon=True)
     t.start()
@@ -105,9 +110,15 @@ def build_server(tmp_dir, n_dev=8):
     return base, server
 
 
-def run_soak(base: str, seconds: float, n_clients: int = 6, mutate: bool = True):
+def run_soak(base: str, seconds: float, n_clients: int = 6, mutate: bool = True,
+             server=None):
     """Drive the soak against ``base``; returns the result dict (raises
-    AssertionError on contract violations)."""
+    AssertionError on contract violations). With ``server`` (the
+    in-process test hook), additionally asserts the no-mid-soak-
+    recompile contract: corpus edits within the item padding block must
+    not grow the retriever's compiled-program cache — the only new
+    programs allowed after warmup are early-stop escalation buckets
+    ('adaptive-cont', a deliberate O(log q) shape family)."""
 
     def call(path, payload=None, timeout=120):
         req = urllib.request.Request(
@@ -198,6 +209,9 @@ def run_soak(base: str, seconds: float, n_clients: int = 6, mutate: bool = True)
             removed_done.update(out["ids"])
         call("/query", {"queries": [{"mention": words[2]}]})
     warmup_s = time.time() - t_warm
+    progs_warm = (
+        {str(k) for k in server.retriever._fused_cache} if server is not None else None
+    )
 
     threads = [threading.Thread(target=query_client, args=(i,)) for i in range(n_clients)]
     if mutate:
@@ -242,6 +256,19 @@ def run_soak(base: str, seconds: float, n_clients: int = 6, mutate: bool = True)
         "rss_mb": {"start": round(rss0, 1), "samples": [round(x, 1) for x in rss]},
         "removed_total": len(removed_done),
     }
+    if progs_warm is not None:
+        progs_end = {str(k) for k in server.retriever._fused_cache}
+        new = progs_end - progs_warm
+        unexpected = sorted(k for k in new if "adaptive-cont" not in k)
+        assert not unexpected, (
+            f"mid-soak recompile of non-escalation programs: {unexpected} "
+            "(corpus edits within the padding block must reuse programs)"
+        )
+        res["programs"] = {
+            "after_warmup": len(progs_warm),
+            "new_during_soak": len(new),
+            "new_escalation_buckets": len(new) - len(unexpected),
+        }
     # memory flatness: RSS growth from the soak MIDPOINT to the end
     # bounded — the first half of a short soak still absorbs jit
     # compilation of post-edit shapes (a 6 s CI soak measured 25.7%
@@ -277,13 +304,20 @@ def main():
         ),
     )
     args = ap.parse_args()
-    base, server = build_server("/tmp/serving_soak")
-    res = run_soak(base, args.seconds, args.clients, mutate=not args.no_mutate)
-    server.shutdown()
+    out = {}
+    for mode in ("fixed", "adaptive"):
+        base, server = build_server(f"/tmp/serving_soak_{mode}", mode=mode)
+        res = run_soak(
+            base, args.seconds, args.clients, mutate=not args.no_mutate,
+            server=server,
+        )
+        server.shutdown()
+        res["mode"] = mode
+        out[mode] = res
+        print(json.dumps({mode: res}), flush=True)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
-        json.dump(res, f, indent=1)
-    print(json.dumps(res))
+        json.dump(out, f, indent=1)
     print(f"wrote {args.out}")
 
 
