@@ -76,9 +76,15 @@ def ridge_complete(
     ids: jax.Array,  # (q, S) int32 per-query scored item ids
     vals: jax.Array,  # (q, S) f32 exact scores at those ids
     ridge_rel: float = 1e-6,
+    cols: Optional[jax.Array] = None,  # (L,) int32: complete only these
 ) -> jax.Array:
     """(q, m) approximate all-item scores: each query's exact scores at
     its own scored set, completed through the train-matrix latent space.
+
+    ``cols`` restricts the OUTPUT to the given global item columns
+    ((q, L) result) — the shortlist path: the solve is unchanged (it
+    only touches the scored columns), so restricted completion is
+    exact on the columns it returns.
 
     All matmuls run at precision='highest' — the TPU bf16 default
     collapses CUR recall (CLAUDE.md, measured)."""
@@ -94,7 +100,8 @@ def ridge_complete(
     gram = gram + lam[:, None, None] * jnp.eye(s, dtype=gram.dtype)
     z = jnp.linalg.solve(gram, vals[..., None])[..., 0]  # (q, S)
     w = jnp.einsum("qs,qns->qn", z, c, precision="highest")  # (q, n_train)
-    return jnp.einsum("qn,nm->qm", w, train, precision="highest")
+    out_train = train if cols is None else jnp.take(train.T, cols, axis=0).T
+    return jnp.einsum("qn,nm->qm", w, out_train, precision="highest")
 
 
 def axn_complete_batched(
@@ -104,6 +111,7 @@ def axn_complete_batched(
     vals: jax.Array,  # (q, S) exact scores at those ids
     lam_rel: float = 1e-2,
     dim_cap_frac: Optional[float] = None,
+    cols: Optional[jax.Array] = None,  # (L,) int32: complete only these
 ) -> jax.Array:
     """(q, m) AXN completion with per-query observation sets: each
     query's latent embedding solves an (r x r) ridge system on ITS own
@@ -117,6 +125,9 @@ def axn_complete_batched(
     strictly better regularized — this plus a fit rank ~2x the
     97%-energy rank closes VERDICT r3's AXN budget gap (see
     tools/adaptive_matched_recall.py axn_rank comment).
+
+    ``cols`` restricts the output to the given global item columns
+    ((q, L) result), like ridge_complete's.
 
     ``dim_cap_frac``: CLOSED probe (round 4, VERDICT r3 item 4): cap the
     solve at d = min(r, frac * S) singular dims (principal-component
@@ -140,20 +151,23 @@ def axn_complete_batched(
     gram = gram + lam[:, None, None] * jnp.eye(r, dtype=gram.dtype)
     rhs = jnp.einsum("qsr,qs->qr", e_s, y, precision="highest")
     q_emb = jnp.linalg.solve(gram, rhs[..., None])[..., 0]  # (q, r)
+    out_embeds = item_embeds if cols is None else jnp.take(item_embeds, cols, axis=0)
+    out_mean = mean if cols is None else jnp.take(mean, cols, axis=0)
     return (
-        jnp.einsum("qr,mr->qm", q_emb, item_embeds, precision="highest")
-        + mean[None, :]
+        jnp.einsum("qr,mr->qm", q_emb, out_embeds, precision="highest")
+        + out_mean[None, :]
     )
 
 
 def _grow_rounds(
     score_fn: Callable[[jax.Array], jax.Array],
-    completer: Callable[[jax.Array, jax.Array], jax.Array],
+    completer: Callable[..., jax.Array],
     ids: jax.Array,  # (q, S) already-scored item ids
     vals: jax.Array,  # (q, S) exact scores at those ids
     n_new_rounds: int,
     per: int,
     valid_mask: Optional[jax.Array] = None,  # (m,) bool; False = padded col
+    shortlist: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Extend per-query scored state by ``n_new_rounds`` rounds of
     ``per`` candidates each: complete -> pick unseen top-``per`` ->
@@ -162,16 +176,69 @@ def _grow_rounds(
 
     ``valid_mask`` marks real item columns when the corpus is padded to
     a block multiple (retriever item_pad_multiple): padded columns are
-    forced to -inf so they are never picked as candidates."""
+    forced to -inf so they are never picked as candidates.
+
+    ``shortlist`` (L) bounds the per-round O(n_items) work at large
+    corpora (VERDICT r4 item 4): the FIRST round here completes against
+    the full corpus as usual, then the batch's candidate pool is frozen
+    to the top-L columns of the max-over-queries completion, and later
+    rounds complete/pick only inside it ((q, L) instead of
+    (q, n_items)). Max-pooling keeps the pool id-unique by construction
+    (a per-query union could hold duplicate columns, and a duplicate
+    could put the same item twice into one query's top-k). The pool
+    must be generous vs the remaining picks: callers enforce
+    L >= total scored + all remaining picks (retriever clamps)."""
     q = ids.shape[0]
-    for _ in range(n_new_rounds):
-        approx = completer(ids, vals)
-        if valid_mask is not None:
-            approx = jnp.where(valid_mask[None, :], approx, -jnp.inf)
-        # never re-pick an already-scored item
-        approx = approx.at[jnp.arange(q)[:, None], ids].set(-jnp.inf)
-        _, next_ids = jax.lax.top_k(approx, per)  # (q, per)
-        next_ids = next_ids.astype(jnp.int32)
+    use_shortlist = (
+        shortlist is not None
+        and n_new_rounds >= 2
+        and shortlist < (valid_mask.shape[0] if valid_mask is not None else 10**9)
+    )
+    sl_ids = None
+    for r in range(n_new_rounds):
+        if sl_ids is None:
+            approx = completer(ids, vals)  # (q, m)
+            if valid_mask is not None:
+                approx = jnp.where(valid_mask[None, :], approx, -jnp.inf)
+            # never re-pick an already-scored item
+            approx = approx.at[jnp.arange(q)[:, None], ids].set(-jnp.inf)
+            _, next_ids = jax.lax.top_k(approx, per)  # (q, per)
+            next_ids = next_ids.astype(jnp.int32)
+            if use_shortlist:
+                m = approx.shape[1]
+                # freeze the pool. EVERY id scored so far (and this
+                # round's picks) must be a member, or the local exclusion
+                # below cannot see it and a later round could score the
+                # same item twice (duplicate top-k entries) — hence the
+                # caller guard q*(S_final) <= L (retriever clamps), and
+                # membership forced via +inf before the top-L cut
+                pooled = jnp.max(approx, axis=0)
+                pooled = pooled.at[ids.reshape(-1)].set(jnp.inf)
+                pooled = pooled.at[next_ids.reshape(-1)].set(jnp.inf)
+                _, sl_ids = jax.lax.top_k(pooled, shortlist)
+                sl_ids = sl_ids.astype(jnp.int32)
+                # global id -> pool-local slot; non-members -> L (a junk
+                # slot appended to the restricted completion below)
+                loc = (
+                    jnp.full((m,), shortlist, jnp.int32)
+                    .at[sl_ids]
+                    .set(jnp.arange(shortlist, dtype=jnp.int32))
+                )
+                sl_valid = (
+                    jnp.take(valid_mask, sl_ids) if valid_mask is not None else None
+                )
+        else:
+            approx = completer(ids, vals, cols=sl_ids)  # (q, L)
+            if sl_valid is not None:
+                approx = jnp.where(sl_valid[None, :], approx, -jnp.inf)
+            approx = jnp.concatenate(
+                [approx, jnp.full((q, 1), -jnp.inf, approx.dtype)], axis=1
+            )
+            approx = approx.at[
+                jnp.arange(q)[:, None], jnp.take(loc, ids)
+            ].set(-jnp.inf)[:, :-1]
+            _, next_local = jax.lax.top_k(approx, per)
+            next_ids = jnp.take(sl_ids, next_local).astype(jnp.int32)
         next_vals = score_fn(next_ids)
         if valid_mask is not None:
             # a query that exhausts every VALID unseen item can only pick
@@ -226,10 +293,11 @@ def adaptive_rounds(
     n_rounds: int,
     top_k: int,
     ridge_rel: float = 1e-6,
-    completer: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+    completer: Optional[Callable[..., jax.Array]] = None,
     with_state: bool = False,
     stability_overlap: float = 1.0,
     valid_mask: Optional[jax.Array] = None,
+    shortlist: Optional[int] = None,
 ):
     """Pure traced body (call under jit): returns
     (top_scores (q, top_k), top_ids (q, top_k), scored_ids (q, budget)),
@@ -249,12 +317,15 @@ def adaptive_rounds(
     total_budget = min(total_budget, m)
     first, per, n_rounds = split_rounds(total_budget, n_rounds)
     if completer is None:
-        completer = lambda ids, vals: ridge_complete(train, ids, vals, ridge_rel)
+        completer = lambda ids, vals, cols=None: ridge_complete(
+            train, ids, vals, ridge_rel, cols
+        )
 
     ids = jnp.broadcast_to(anchors0[None, :first], (q, first)).astype(jnp.int32)
     vals = score_fn(ids)
     ids, vals = _grow_rounds(
-        score_fn, completer, ids, vals, n_rounds - 1, per, valid_mask
+        score_fn, completer, ids, vals, n_rounds - 1, per, valid_mask,
+        shortlist=shortlist,
     )
     top_scores, top_ids = _topk_state(ids, vals, top_k)
     if not with_state:
@@ -276,9 +347,10 @@ def adaptive_continue(
     extra_rounds: int,
     top_k: int,
     ridge_rel: float = 1e-6,
-    completer: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+    completer: Optional[Callable[..., jax.Array]] = None,
     stability_overlap: float = 1.0,
     valid_mask: Optional[jax.Array] = None,
+    shortlist: Optional[int] = None,
 ):
     """Early-stop escalation phase: resume UNSTABLE queries from their
     already-scored state and spend ``extra_budget`` more CE calls over
@@ -287,14 +359,18 @@ def adaptive_continue(
     (top_scores, top_ids, ids, vals, stable) like
     adaptive_rounds(with_state=True)."""
     if completer is None:
-        completer = lambda i, v: ridge_complete(train, i, v, ridge_rel)
+        completer = lambda i, v, cols=None: ridge_complete(train, i, v, ridge_rel, cols)
     extra_rounds = max(1, min(extra_rounds, extra_budget))
     per = max(1, extra_budget // extra_rounds)
     first = extra_budget - per * (extra_rounds - 1)
     # first extra round takes the remainder so the budget lands exactly
+    # the escalation phase keeps full-corpus picks for its first round
+    # (fresh evidence may move candidates far from the base shortlist),
+    # then restricts like the base engine
     ids, vals = _grow_rounds(score_fn, completer, ids, vals, 1, first, valid_mask)
     ids, vals = _grow_rounds(
-        score_fn, completer, ids, vals, extra_rounds - 1, per, valid_mask
+        score_fn, completer, ids, vals, extra_rounds - 1, per, valid_mask,
+        shortlist=shortlist,
     )
     top_scores, top_ids = _topk_state(ids, vals, top_k)
     stable = stable_topk_flag(ids, vals, per, top_k, stability_overlap)
@@ -305,6 +381,7 @@ def adaptive_continue(
 def _oracle_fn(
     budget: int, n_rounds: int, top_k: int, ridge_rel: float,
     method: str = "cur", axn_lam_rel: float = 1e-2,
+    shortlist: "Optional[int]" = None,
 ):
     """jitted oracle-scorer engine (scores come from a precomputed full
     matrix — the eval setting, no encoder). ``method``: 'cur' (train-
@@ -316,19 +393,20 @@ def _oracle_fn(
         def fn(full, train, anchors0):
             score = lambda ids: take_per_row(full, ids)
             return adaptive_rounds(
-                score, train, anchors0, full.shape[0], budget, n_rounds, top_k, ridge_rel
+                score, train, anchors0, full.shape[0], budget, n_rounds,
+                top_k, ridge_rel, shortlist=shortlist,
             )
 
     else:
 
         def fn(full, train, anchors0, item_embeds, mean):
             score = lambda ids: take_per_row(full, ids)
-            completer = lambda ids, vals: axn_complete_batched(
-                item_embeds, mean, ids, vals, axn_lam_rel
+            completer = lambda ids, vals, cols=None: axn_complete_batched(
+                item_embeds, mean, ids, vals, axn_lam_rel, cols=cols
             )
             return adaptive_rounds(
                 score, train, anchors0, full.shape[0], budget, n_rounds, top_k,
-                ridge_rel, completer=completer,
+                ridge_rel, completer=completer, shortlist=shortlist,
             )
 
     return jax.jit(fn)
@@ -345,6 +423,7 @@ def adaptive_topk_oracle(
     method: str = "cur",
     axn_rank: Optional[int] = None,
     axn_lam_rel: float = 1e-2,
+    shortlist: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Run the fused engine against a precomputed score matrix (for
     recall evaluation / budget search — mirrors
@@ -360,7 +439,10 @@ def adaptive_topk_oracle(
     anchors0 = jnp.asarray(
         sorted(rng.choice(m, size=first, replace=False)), jnp.int32
     )
-    fn = _oracle_fn(min(total_budget, m), n_rounds, top_k, ridge_rel, method, axn_lam_rel)
+    fn = _oracle_fn(
+        min(total_budget, m), n_rounds, top_k, ridge_rel, method, axn_lam_rel,
+        shortlist,
+    )
     if method == "axn":
         from anncur_tpu.core.axn import fit_item_embeddings_cached
 
@@ -397,9 +479,11 @@ def _oracle_es_fns(
 
     def make_completer(train, extra):
         if method == "cur":
-            return lambda ids, vals: ridge_complete(train, ids, vals, ridge_rel)
+            return lambda ids, vals, cols=None: ridge_complete(
+            train, ids, vals, ridge_rel, cols
+        )
         item_embeds, mean = extra
-        return lambda ids, vals: axn_complete_batched(
+        return lambda ids, vals, cols=None: axn_complete_batched(
             item_embeds, mean, ids, vals, axn_lam_rel
         )
 
@@ -581,6 +665,7 @@ def adaptive_recall_oracle(
     ridge_rel: float = 1e-6,
     method: str = "cur",
     axn_rank: Optional[int] = None,
+    shortlist: Optional[int] = None,
 ) -> float:
     """recall@top_k of the fused adaptive engine at the given budget."""
     from anncur_tpu.core.metrics import topk_overlap_frac
@@ -589,7 +674,7 @@ def adaptive_recall_oracle(
     exact_top = np.argsort(-full, axis=1)[:, :top_k]
     _, ids, _ = adaptive_topk_oracle(
         full, train_scores, total_budget, n_rounds, top_k, seed, ridge_rel,
-        method=method, axn_rank=axn_rank,
+        method=method, axn_rank=axn_rank, shortlist=shortlist,
     )
     return float(
         np.asarray(topk_overlap_frac(jnp.asarray(ids), jnp.asarray(exact_top))).mean()

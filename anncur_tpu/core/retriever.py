@@ -701,6 +701,7 @@ class CurRetriever:
         axn_lam_rel: float = 1e-2,
         with_state: bool = False,
         stability_overlap: float = 1.0,
+        shortlist: Optional[int] = None,
     ):
         """ONE jit program for the whole adaptive query batch: round-0
         anchor scoring -> per-round latent completion / candidate pick /
@@ -719,7 +720,7 @@ class CurRetriever:
         inside the program)."""
         key = (
             "adaptive", q_pad, lm, budget, n_rounds, top_k, ridge_rel, method,
-            axn_lam_rel, with_state, stability_overlap,
+            axn_lam_rel, with_state, stability_overlap, shortlist,
         )
         if key in self._fused_cache:
             return self._fused_cache[key]
@@ -753,14 +754,14 @@ class CurRetriever:
         if method == "axn":
 
             def fn(p, qtoks, items, train, anchors0, valid_mask, item_embeds, mean):
-                completer = lambda ids, vals: axn_complete_batched(
-                    item_embeds, mean, ids, vals, axn_lam_rel
+                completer = lambda ids, vals, cols=None: axn_complete_batched(
+                    item_embeds, mean, ids, vals, axn_lam_rel, cols=cols
                 )
                 return adaptive_rounds(
                     make_score_fn(p, qtoks, items), train, anchors0, q_pad, budget,
                     n_rounds, top_k, ridge_rel, completer=completer,
                     valid_mask=valid_mask, with_state=with_state,
-                    stability_overlap=stability_overlap,
+                    stability_overlap=stability_overlap, shortlist=shortlist,
                 )
 
         else:
@@ -770,6 +771,7 @@ class CurRetriever:
                     make_score_fn(p, qtoks, items), train, anchors0, q_pad, budget,
                     n_rounds, top_k, ridge_rel, valid_mask=valid_mask,
                     with_state=with_state, stability_overlap=stability_overlap,
+                    shortlist=shortlist,
                 )
 
         if self._mesh_size() > 1:
@@ -848,8 +850,8 @@ class CurRetriever:
         if method == "axn":
 
             def fn(p, qtoks, items, train, ids, vals, valid_mask, item_embeds, mean):
-                completer = lambda i, v: axn_complete_batched(
-                    item_embeds, mean, i, v, axn_lam_rel
+                completer = lambda i, v, cols=None: axn_complete_batched(
+                    item_embeds, mean, i, v, axn_lam_rel, cols=cols
                 )
                 return adaptive_continue(
                     make_score_fn(p, qtoks, items), train, ids, vals,
@@ -885,6 +887,7 @@ class CurRetriever:
         escalate_rounds: int = 3,
         stability_overlap: float = 1.0,
         return_stats: bool = False,
+        shortlist: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Adaptive multi-round retrieval as ONE fused jit program per
         batch — the production adaptive serving mode. Spends exactly
@@ -978,10 +981,26 @@ class CurRetriever:
         if escalate_budget is not None:
             extra = max(0, min(escalate_budget, n_items) - total_budget)
         with_state = extra > 0
+        if shortlist:
+            # large-corpus mitigation (VERDICT r4 item 4): rounds 2+
+            # complete/pick against a frozen batch-shared top-L pool
+            # instead of all n_items. Correctness needs every scored id
+            # to be a pool member (else the in-pool exclusion can score
+            # an item twice): at pool build that is the shared round-0
+            # anchors plus this batch's per-query round-1 picks, and the
+            # pool also needs genuine headroom for the remaining picks —
+            # silently disable when L can't satisfy both (small corpora,
+            # big batches; those regimes don't need the mitigation).
+            first, per, _nr = split_rounds(total_budget, n_rounds)
+            # pool membership is per-device (the program is shard_mapped
+            # over the data axis), so the guard uses the PER-DEVICE q
+            need = first + q_pad_loc * per + per * max(1, _nr - 2)
+            if shortlist < need or shortlist >= n_items:
+                shortlist = None
         fn = self._get_fused_adaptive_fn(
             q_pad_loc, lm, total_budget, n_rounds, top_k, ridge_rel, method,
             axn_lam_rel, with_state=with_state,
-            stability_overlap=stability_overlap,
+            stability_overlap=stability_overlap, shortlist=shortlist,
         )
         es_args = ()
         if method == "axn":

@@ -72,6 +72,29 @@ def test_fused_oracle_budget_and_exact_scores(rng):
     assert hit >= 0.75
 
 
+def test_fused_oracle_shortlist_budget_and_no_dups(rng):
+    """Shortlist mode (large-corpus mitigation, VERDICT r4 item 4):
+    rounds 2+ pick candidates from a frozen batch-shared top-L pool.
+    The budget accounting and no-duplicate-CE-call contracts must hold
+    exactly, scores stay exact, and at a generous L the recall cost vs
+    the full engine is bounded (the pool freeze is a measured recall
+    trade — tools/bench_nitems_scaling.py)."""
+    full, train = make_matrix(rng, 8, 60, 2000, rank=8, noise=0.05)
+    scores, ids, scored = adaptive_topk_oracle(
+        full, train, total_budget=60, n_rounds=4, top_k=5, seed=0,
+        shortlist=512,
+    )
+    assert scored.shape == (8, 60)
+    for i in range(8):
+        assert len(set(scored[i].tolist())) == 60  # no dup CE calls
+        np.testing.assert_allclose(scores[i], full[i, ids[i]], rtol=1e-5)
+    rec_sl = adaptive_recall_oracle(
+        full, train, 60, n_rounds=4, top_k=5, seed=0, shortlist=512
+    )
+    rec_full = adaptive_recall_oracle(full, train, 60, n_rounds=4, top_k=5, seed=0)
+    assert rec_sl >= rec_full - 0.1, (rec_sl, rec_full)
+
+
 def test_fused_recall_matches_host_engine(rng):
     """The fused ridge-solve engine must land within a few recall points
     of the host f64-pinv engine at the same budget (hard regime where
@@ -137,6 +160,35 @@ def test_retriever_fused_adaptive_exact_scores(retriever_setup):
         )
     # scores descending
     assert np.all(np.diff(scores, axis=1) <= 1e-6)
+
+
+def test_retriever_fused_adaptive_shortlist(retriever_setup):
+    """Serving-path shortlist: exact scores at returned ids, distinct
+    top-k, and the guard silently disables an unsatisfiable L."""
+    retriever, ment, full_scores, builder = retriever_setup
+    test_toks = ment[16:20]
+    scores, ids = retriever.query_tokens_adaptive_fused(
+        test_toks, total_budget=12, n_rounds=3, top_k=5,
+        train_scores=full_scores[:16], shortlist=24,
+    )
+    assert scores.shape == (4, 5) and ids.shape == (4, 5)
+    for i in range(4):
+        assert len(set(ids[i].tolist())) == 5  # no duplicate items
+        np.testing.assert_allclose(
+            scores[i], full_scores[16 + i, ids[i]], rtol=1e-4, atol=1e-4
+        )
+    # unsatisfiable L (>= n_items) falls back to the full engine:
+    # bitwise-identical results to shortlist=None
+    s0, i0 = retriever.query_tokens_adaptive_fused(
+        test_toks, total_budget=12, n_rounds=3, top_k=5,
+        train_scores=full_scores[:16],
+    )
+    s1, i1 = retriever.query_tokens_adaptive_fused(
+        test_toks, total_budget=12, n_rounds=3, top_k=5,
+        train_scores=full_scores[:16], shortlist=10**6,
+    )
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_array_equal(s0, s1)
 
 
 def test_retriever_fused_adaptive_default_train_matrix(retriever_setup):
