@@ -100,6 +100,7 @@ def orchestrate():
     )]
     if not build_only:
         jobs.append(("--line3", ("query_throughput_at_matched_recall",), 3600))
+        jobs.append(("--line4", ("query_throughput_early_stop_worst",), 3600))
     for flag, want_metrics, tmo in jobs:
         for attempt in (1, 2):
             try:
@@ -147,7 +148,7 @@ def orchestrate():
 
 
 def main(lines="all"):
-    only_line3 = lines == "3"
+    only_line3 = lines in ("3", "4")  # query-path-only lines: skip build + fixed
     import jax
     import jax.numpy as jnp
 
@@ -342,6 +343,60 @@ def main(lines="all"):
         train_scores=jnp.asarray(train_scores, jnp.float32),
         method=method, axn_rank=axn_rank,
     )
+    if lines == "4":
+        # ---- line 4: early-stop engine, WORST case -------------------
+        # The per-query early-stop engine (escalate_budget) makes
+        # matched recall a property of the ENGINE: every query pays the
+        # base budget, only unstable ones escalate to the ceiling
+        # (evidence: adaptive_matched_recall.json headline_early_stop —
+        # one config matches fixed-anchor recall on every committed
+        # spectrum). This line measures its WORST case on chip: every
+        # query forced to escalate (stability_overlap > 1 makes the
+        # convergence test unsatisfiable — the programs are cost-
+        # identical to production, only the comparison constant
+        # differs). Easy spectra run the base budget only: measured
+        # 30.2 q/s at b100r5 (benchmarks/early_stop_serving.json).
+        es = None
+        if os.path.exists(amr_path):
+            with open(amr_path) as f:
+                es_amr = json.load(f)
+            if not es_amr.get("quick"):
+                es = es_amr.get("headline_early_stop")
+        if not es:
+            print("# no early-stop calibration; line 4 skipped", file=sys.stderr)
+            return
+        es_kw = dict(
+            total_budget=int(es["base_budget"]), n_rounds=int(es["base_rounds"]),
+            top_k=10, train_scores=jnp.asarray(train_scores, jnp.float32),
+            method="cur", escalate_budget=int(es["escalate_budget"]),
+            escalate_rounds=int(es["escalate_rounds"]), stability_overlap=1.01,
+        )
+        retriever.query_tokens_adaptive_fused(ada_toks, **es_kw)  # compile
+        esqps = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            retriever.query_tokens_adaptive_fused(ada_toks, **es_kw)
+            esqps = max(esqps, ada_q / (time.time() - t0))
+        esqps /= n_dev
+        print(
+            json.dumps(
+                {
+                    "metric": "query_throughput_early_stop_worst",
+                    "value": round(esqps, 2),
+                    "unit": (
+                        f"queries/s/chip (per-query early-stop engine "
+                        f"{es['config']}, ALL queries escalated = worst-case "
+                        f"avg budget {es['escalate_budget']}; easy spectra stop "
+                        f"at {es['base_budget']} (~2.5x this q/s); batch={ada_q}; "
+                        "evidence benchmarks/early_stop_serving.json)"
+                    ),
+                    "vs_baseline": round(esqps / (REFERENCE_GPU_PAIRS_PER_SEC / 600.0), 2),
+                }
+            ),
+            flush=True,
+        )
+        return
+
     retriever.query_tokens_adaptive_fused(ada_toks, **ada_kw)  # compile + warmup
     aqps = 0.0
     for _ in range(2):
@@ -372,6 +427,8 @@ if __name__ == "__main__":
         main(lines="12")
     elif "--line3" in sys.argv:
         main(lines="3")
+    elif "--line4" in sys.argv:
+        main(lines="4")
     elif os.environ.get("BENCH_NO_SUBPROC"):
         wait_for_backend()
         main()
