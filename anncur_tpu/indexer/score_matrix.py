@@ -194,7 +194,10 @@ class ScoreMatrixBuilder:
     """
 
     encoder: CrossEncoder
-    mesh: Mesh
+    # None = all visible devices on the 'data' axis (built lazily in
+    # __post_init__); serving-side callers (CurRetriever.add_items) may
+    # not carry a mesh around
+    mesh: Optional[Mesh] = None
     axis: str = "data"
     ment_block: int = 8
     ent_block: int = 64
@@ -212,6 +215,10 @@ class ScoreMatrixBuilder:
         # retraced + re-looked-up the compile cache every build — measured
         # 1659 vs 2307 pairs/s on v5e for repeat 32x2048 builds.
         self._step_cache: Dict[Tuple[int, int, int], Any] = {}
+        if self.mesh is None:
+            from anncur_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh((len(jax.devices()),), (self.axis,))
 
     def _make_step(self, params, lm: int, le: int, n_e_shard: int):
         key = (lm, le, n_e_shard)

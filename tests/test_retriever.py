@@ -108,6 +108,30 @@ def test_query_batch_mesh_sharded_matches_single(retriever_setup, mesh8):
     np.testing.assert_allclose(s3, s4, atol=1e-5)
 
 
+def test_builder_default_mesh_add_items(mesh8):
+    """ScoreMatrixBuilder(mesh=None) defaults to an all-devices mesh —
+    the serving-side add_items path constructs builders without carrying
+    a mesh (round-5 regression: tools/bench_serving_latency.py passed
+    None and the first on-chip add_then_query run crashed)."""
+    ment, ent, gt, tok = make_tokenized_world(
+        seed=12, n_ents=32, n_ments=8, max_ment_len=16, max_ent_len=16
+    )
+    spec = BertSpec.tiny(vocab_size=tok.vocab_size, max_position_embeddings=64)
+    ce = CrossEncoder(spec=spec, compute_dtype=jnp.float32)
+    params = ce.init(jax.random.PRNGKey(1))
+    builder = ScoreMatrixBuilder(ce, None, ment_block=4, ent_block=8,
+                                 pair_pad_multiple=32)
+    assert builder.mesh is not None
+    retr = CurRetriever.build(
+        ce, params, tok, ment[:6], ent[:24], n_anchor_items=8,
+        builder=builder, max_query_len=16, seed=3,
+    )
+    new_ids = retr.add_items(ent[24:], builder)
+    assert list(new_ids) == list(range(24, 32))
+    s, i = retr.query_tokens_batch(ment[:2], top_k=3, top_k_retvr=8)
+    assert s.shape == (2, 3) and np.all(np.isfinite(s))
+
+
 def test_add_items_equals_full_rebuild(mesh8):
     """Incremental add_items must give EXACTLY the index a full rebuild
     with the same anchors produces: U depends only on the anchor
