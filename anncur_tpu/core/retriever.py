@@ -964,12 +964,17 @@ class CurRetriever:
             )
         if train_scores is not None:
             # pad the caller's train matrix to the fused programs' padded
-            # item axis (zero columns, never retrievable via valid_mask)
-            tr = np.asarray(train_scores, np.float32)
-            pad = self._padded_n_items() - tr.shape[1]
+            # item axis (zero columns, never retrievable via valid_mask).
+            # Stay ON DEVICE: a host round trip here (np.asarray + re-
+            # upload) costs ~40 MB through the tunnel PER CALL for a
+            # device-resident 500 x 10k matrix — measured +0.5 s on every
+            # b=1 adaptive query (636 ms vs 124 ms) before this was
+            # device-side. jnp.pad on a committed array is one tiny
+            # cached device program.
+            train = jnp.asarray(train_scores, jnp.float32)
+            pad = self._padded_n_items() - train.shape[1]
             if pad:
-                tr = np.pad(tr, ((0, 0), (0, pad)))
-            train = jnp.asarray(tr)
+                train = jnp.pad(train, ((0, 0), (0, pad)))
         else:
             train = self._train_matrix()
         rng = np.random.default_rng(seed)
@@ -1014,9 +1019,11 @@ class CurRetriever:
                 # fit on the PADDED matrix so the completion's item axis
                 # matches the fused programs (padded items embed to zero
                 # and are masked out); rank defaults to the UNPADDED
-                # content rank — zero columns add no spectral energy
+                # content rank — zero columns add no spectral energy.
+                # Content hashing needs host bytes, so AXN pays one D2H
+                # fetch per call; the fit itself is content-cached
                 idx = fit_item_embeddings_cached(
-                    tr, axn_rank or min(np.asarray(train_scores).shape)
+                    np.asarray(train), axn_rank or min(train_scores.shape)
                 )
             else:
                 idx = self._axn_index(train, axn_rank)

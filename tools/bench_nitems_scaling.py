@@ -48,7 +48,12 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--shortlist", type=int, default=0,
                     help="rounds 2+ pick candidates from a shared "
-                    "L-item shortlist instead of the full corpus")
+                    "L-item shortlist instead of the full corpus "
+                    "(applies to ALL adaptive rows)")
+    ap.add_argument("--shortlist_also", type=int, default=2048,
+                    help="additionally time the adaptive rows with this "
+                    "shortlist at each scale (0 disables) — one run "
+                    "yields both the baseline curve and the mitigation")
     ap.add_argument("--skip_b512", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="tiny smoke run")
     args = ap.parse_args(argv)
@@ -109,12 +114,12 @@ def main(argv=None):
             scale[name] = row
             print(json.dumps({f"n{n_items}.{name}": row}), flush=True)
 
-        def ada(b, n_rounds, bud):
+        def ada(b, n_rounds, bud, shortlist=args.shortlist):
             qt = rng.integers(1, spec.vocab_size, size=(b, 128)).astype(np.int32)
             return lambda: retriever.query_tokens_adaptive_fused(
                 qt, total_budget=bud, n_rounds=n_rounds, top_k=10,
                 train_scores=train_dev, method="cur",
-                shortlist=args.shortlist or None,
+                shortlist=shortlist or None,
             )
 
         qt8 = rng.integers(1, spec.vocab_size, size=(8, 128)).astype(np.int32)
@@ -128,6 +133,12 @@ def main(argv=None):
         timed("adaptive_b8_r1", ada(8, 1, budget), 8)
         if not args.skip_b512:
             timed("adaptive_b512", ada(512, args.rounds, budget), 512)
+        sl = args.shortlist_also
+        if sl and not args.shortlist and sl < n_items:
+            timed(f"adaptive_b1_sl{sl}", ada(1, args.rounds, budget, sl), 1)
+            timed(f"adaptive_b8_sl{sl}", ada(8, args.rounds, budget, sl), 8)
+            if not args.skip_b512:
+                timed(f"adaptive_b512_sl{sl}", ada(512, args.rounds, budget, sl), 512)
         out["scales"][str(n_items)] = scale
         del retriever, train_dev
 

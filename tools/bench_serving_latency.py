@@ -183,6 +183,10 @@ def main(argv=None):
         q1()
         within_ms = (time.time() - t0) * 1000.0
 
+        t0 = time.time()
+        q1()
+        second_ms = (time.time() - t0) * 1000.0
+
         retriever._fused_cache.clear()  # round-3 behavior: drop programs
         t0 = time.time()
         q1()
@@ -192,10 +196,12 @@ def main(argv=None):
             "add_items_ms": round(add_ms, 1),
             "n_added": 16,
             "add_then_query_within_block_ms": round(within_ms, 1),
+            "second_query_after_add_ms": round(second_ms, 1),
             "add_then_query_recompile_ms": round(recompile_ms, 1),
-            "note": "within_block ~ baseline = compiled programs survive "
-            "corpus edits (item-axis padding); recompile row emulates the "
-            "pre-fix cache drop",
+            "note": "within_block pays ONE-TIME device-const re-staging "
+            "(~25 MB padded items+latents through the tunnel), not a "
+            "recompile — second_query returns to baseline; recompile row "
+            "emulates the pre-fix (round-3) program-cache drop",
         }
         print(json.dumps({"add_then_query": results["add_then_query"]}), flush=True)
 

@@ -199,6 +199,30 @@ print(
     f"escalated {es_stats['frac_escalated']:.2f}"
 )
 
+# round-5 serving-latency fix: a caller's DEVICE-RESIDENT train matrix
+# must stay on device through the item-axis padding (the round-4 code
+# round-tripped it through the host per call: +0.5 s/query through the
+# tunnel, DESIGN §27) and give identical results to the numpy route
+s_dev, i_dev = retr.query_tokens_adaptive_fused(
+    test_q, total_budget=12, n_rounds=3, top_k=5,
+    train_scores=jnp.asarray(R_probe),
+)
+np.testing.assert_array_equal(i_dev, i_b)
+np.testing.assert_allclose(s_dev, s_b, atol=1e-6)
+print("device-resident train matrix: padded on device, results identical")
+
+# round-5 shortlist mode (large-corpus mitigation): rounds 2+ pick from
+# a frozen top-L pool; returned scores must still be exact CE scores
+s_sl, i_sl = retr.query_tokens_adaptive_fused(
+    test_q, total_budget=12, n_rounds=3, top_k=5, train_scores=R_probe,
+    shortlist=48,
+)
+got_sl = np.take_along_axis(exact, i_sl, axis=1)
+np.testing.assert_allclose(s_sl, got_sl, rtol=1e-4, atol=1e-4)
+rec_sl = float(np.mean(np.asarray(topk_overlap_frac(exact_top, i_sl))))
+assert rec_sl >= rec_b - 0.21, (rec_sl, rec_b)  # bounded pool-freeze cost
+print(f"shortlist-48 adaptive: recall@5 {rec_sl:.3f} (full-pool {rec_b:.3f}), scores exact")
+
 # AXN completion backend through the same fused engine (round-4 defaults:
 # lam_rel 1e-2, fit rank auto=full on this tiny matrix) — returned scores
 # must still be EXACT CE scores (completion only picks candidates)
