@@ -133,12 +133,16 @@ def main(argv=None):
         timed("adaptive_b8_r1", ada(8, 1, budget), 8)
         if not args.skip_b512:
             timed("adaptive_b512", ada(512, args.rounds, budget), 512)
+        # shortlist rows at the LATENCY batches only: pool-membership
+        # correctness needs L >= first + q*per + headroom (the guard in
+        # query_tokens_adaptive_fused silently disables otherwise), so a
+        # b=512 x per-50 row would need L ~ 26k — not a mitigation, and
+        # the throughput regime already recovers via batching
+        # (military_scale.json: 13 q/s at 104k b=512)
         sl = args.shortlist_also
         if sl and not args.shortlist and sl < n_items:
             timed(f"adaptive_b1_sl{sl}", ada(1, args.rounds, budget, sl), 1)
             timed(f"adaptive_b8_sl{sl}", ada(8, args.rounds, budget, sl), 8)
-            if not args.skip_b512:
-                timed(f"adaptive_b512_sl{sl}", ada(512, args.rounds, budget, sl), 512)
         out["scales"][str(n_items)] = scale
         del retriever, train_dev
 
