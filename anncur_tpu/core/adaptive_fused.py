@@ -39,6 +39,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Widest candidate pick/score stage a single fused program may contain.
+# Width-100 rounds (budget 300 @ 3 rounds, q=512 x 10k items) crash the
+# remote TPU worker 3/3 with a bare "kernel fault" while every isolated
+# width-100 stage runs fine (benchmarks/wide_round_probe.json) — the
+# crash is emergent in the composite program. Rounds wider than this are
+# TILED into sub-picks that share one completion (mathematically the
+# same candidate set as a single top-`per` pick; structurally the
+# known-good narrow program family). See DESIGN §25/§29.
+ROUND_WIDTH_CAP = 64
+
+
+def _split_width(per: int, cap: Optional[int] = None) -> Tuple[int, ...]:
+    """Balanced sub-widths summing to ``per``, each <= cap
+    (100 -> (50, 50); 130 -> (44, 43, 43); 64 -> (64,)). ``cap`` reads
+    the module global at CALL time so tests can patch it."""
+    if cap is None:
+        cap = ROUND_WIDTH_CAP
+    if per <= cap:
+        return (per,)
+    n_sub = -(-per // cap)
+    base, rem = divmod(per, n_sub)
+    return tuple(base + (1 if i < rem else 0) for i in range(n_sub))
+
+
 def split_rounds(total_budget: int, n_rounds: int) -> Tuple[int, int, int]:
     """(first_round, per_round, n_rounds) with the same split as
     core/adaptive.py::adaptive_cur_query: later rounds get
@@ -189,11 +213,23 @@ def _grow_rounds(
     must be generous vs the remaining picks: callers enforce
     L >= total scored + all remaining picks (retriever clamps)."""
     q = ids.shape[0]
+    rows = jnp.arange(q)[:, None]
     use_shortlist = (
         shortlist is not None
         and n_new_rounds >= 2
         and shortlist < (valid_mask.shape[0] if valid_mask is not None else 10**9)
     )
+    widths = _split_width(per)  # tile wide rounds (ROUND_WIDTH_CAP)
+
+    def score_block(nid):
+        nv = score_fn(nid)
+        if valid_mask is not None:
+            # a query that exhausts every VALID unseen item can only pick
+            # padded columns (-inf ties); their CE scores are of zero
+            # token rows — fake values that must never enter the ranking
+            nv = jnp.where(jnp.take(valid_mask, nid), nv, -jnp.inf)
+        return nv
+
     sl_ids = None
     for r in range(n_new_rounds):
         if sl_ids is None:
@@ -201,20 +237,28 @@ def _grow_rounds(
             if valid_mask is not None:
                 approx = jnp.where(valid_mask[None, :], approx, -jnp.inf)
             # never re-pick an already-scored item
-            approx = approx.at[jnp.arange(q)[:, None], ids].set(-jnp.inf)
-            _, next_ids = jax.lax.top_k(approx, per)  # (q, per)
-            next_ids = next_ids.astype(jnp.int32)
+            approx = approx.at[rows, ids].set(-jnp.inf)
+            # sub-picks share this completion: top_k(w1) + exclude +
+            # top_k(w2) == top_k(per) exactly (same tie-break, same
+            # descending order), but each stage stays narrow
+            for si, w in enumerate(widths):
+                _, next_ids = jax.lax.top_k(approx, w)  # (q, w)
+                next_ids = next_ids.astype(jnp.int32)
+                if si + 1 < len(widths) or use_shortlist:
+                    approx = approx.at[rows, next_ids].set(-jnp.inf)
+                ids = jnp.concatenate([ids, next_ids], axis=1)
+                vals = jnp.concatenate([vals, score_block(next_ids)], axis=1)
             if use_shortlist:
                 m = approx.shape[1]
-                # freeze the pool. EVERY id scored so far (and this
-                # round's picks) must be a member, or the local exclusion
-                # below cannot see it and a later round could score the
-                # same item twice (duplicate top-k entries) — hence the
-                # caller guard q*(S_final) <= L (retriever clamps), and
-                # membership forced via +inf before the top-L cut
+                # freeze the pool. EVERY id scored so far (incl. this
+                # round's picks, already in ``ids``) must be a member, or
+                # the local exclusion below cannot see it and a later
+                # round could score the same item twice (duplicate top-k
+                # entries) — hence the caller guard
+                # q*(S_final) <= L (retriever clamps), and membership
+                # forced via +inf before the top-L cut
                 pooled = jnp.max(approx, axis=0)
                 pooled = pooled.at[ids.reshape(-1)].set(jnp.inf)
-                pooled = pooled.at[next_ids.reshape(-1)].set(jnp.inf)
                 _, sl_ids = jax.lax.top_k(pooled, shortlist)
                 sl_ids = sl_ids.astype(jnp.int32)
                 # global id -> pool-local slot; non-members -> L (a junk
@@ -234,21 +278,14 @@ def _grow_rounds(
             approx = jnp.concatenate(
                 [approx, jnp.full((q, 1), -jnp.inf, approx.dtype)], axis=1
             )
-            approx = approx.at[
-                jnp.arange(q)[:, None], jnp.take(loc, ids)
-            ].set(-jnp.inf)[:, :-1]
-            _, next_local = jax.lax.top_k(approx, per)
-            next_ids = jnp.take(sl_ids, next_local).astype(jnp.int32)
-        next_vals = score_fn(next_ids)
-        if valid_mask is not None:
-            # a query that exhausts every VALID unseen item can only pick
-            # padded columns (-inf ties); their CE scores are of zero
-            # token rows — fake values that must never enter the ranking
-            next_vals = jnp.where(
-                jnp.take(valid_mask, next_ids), next_vals, -jnp.inf
-            )
-        ids = jnp.concatenate([ids, next_ids], axis=1)
-        vals = jnp.concatenate([vals, next_vals], axis=1)
+            approx = approx.at[rows, jnp.take(loc, ids)].set(-jnp.inf)[:, :-1]
+            for si, w in enumerate(widths):
+                _, next_local = jax.lax.top_k(approx, w)
+                next_ids = jnp.take(sl_ids, next_local).astype(jnp.int32)
+                if si + 1 < len(widths):
+                    approx = approx.at[rows, next_local].set(-jnp.inf)
+                ids = jnp.concatenate([ids, next_ids], axis=1)
+                vals = jnp.concatenate([vals, score_block(next_ids)], axis=1)
     return ids, vals
 
 
@@ -322,7 +359,13 @@ def adaptive_rounds(
         )
 
     ids = jnp.broadcast_to(anchors0[None, :first], (q, first)).astype(jnp.int32)
-    vals = score_fn(ids)
+    # round 0 scores `first` shared anchors — tile wide stages like the
+    # growth rounds (ROUND_WIDTH_CAP): same CE calls, narrow programs
+    lo, blocks = 0, []
+    for w in _split_width(first):
+        blocks.append(score_fn(ids[:, lo:lo + w]))
+        lo += w
+    vals = jnp.concatenate(blocks, axis=1) if len(blocks) > 1 else blocks[0]
     ids, vals = _grow_rounds(
         score_fn, completer, ids, vals, n_rounds - 1, per, valid_mask,
         shortlist=shortlist,

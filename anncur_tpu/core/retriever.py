@@ -907,12 +907,15 @@ class CurRetriever:
         it toward ~1e-3 for matrices whose ranking signal sits near the
         device matmul noise floor (see CurRetriever.build docstring).
 
-        Keep the per-round candidate width (total_budget / n_rounds)
-        <= 64 on the remote TPU backend: width-100 rounds (budget 300 at
-        3 rounds, q=512) crashed the axon worker deterministically,
-        while the same budget at 5 rounds (width 60) runs fine — and at
-        equal budget more rounds give equal-or-better recall
-        (benchmarks/adaptive_matched_recall.json; CLAUDE.md gotcha).
+        Rounds wider than 64 candidates are TILED inside the fused
+        program (adaptive_fused.ROUND_WIDTH_CAP): width-100 composite
+        programs crashed the axon worker 3/3 while every isolated
+        stage ran fine (benchmarks/wide_round_probe.json), so wide
+        picks are split into sub-picks sharing one completion —
+        bit-identical results, and the previously-crashing budget-300
+        3-round config now runs on chip. Note at equal budget more
+        rounds give equal-or-better recall anyway
+        (benchmarks/adaptive_matched_recall.json).
 
         ``escalate_budget`` (> total_budget) turns on PER-QUERY EARLY
         STOPPING (VERDICT r3 item 1b): after the base rounds, queries

@@ -349,3 +349,38 @@ def test_retriever_explicit_train_bypasses_shape_keyed_axn_cache(
         train_scores=full_scores[:16], method="axn", axn_rank=8,
     )
     assert scores.shape == (4, 5)
+
+
+def test_wide_round_tiling_identical(rng, monkeypatch):
+    """Width-tiled rounds (ROUND_WIDTH_CAP, DESIGN §29) must give
+    IDENTICAL results to the untiled program: top_k(w1) + exclude +
+    top_k(w2) picks the same set in the same descending order as a
+    single top_k(per) (same lowest-index tie-break). Runs the known-bad
+    hardware config family (budget 300 @ 3 rounds = width 100) on the
+    CPU oracle, tiled (default cap 64) vs untiled (cap patched huge),
+    plus a shortlist variant and an uneven split (per=130 -> 44/43/43)."""
+    import anncur_tpu.core.adaptive_fused as af
+
+    full, train = make_matrix(rng, 12, 60, 2000, rank=20, noise=0.05)
+
+    def run(budget, rounds, **kw):
+        return adaptive_topk_oracle(
+            full, train, total_budget=budget, n_rounds=rounds, top_k=10,
+            seed=0, **kw,
+        )
+
+    for budget, rounds, kw in [
+        (300, 3, {}),               # first=100, per=100 (the crash config)
+        (390, 3, {}),               # per=130: uneven 44/43/43 split
+        (300, 3, {"shortlist": 900}),
+    ]:
+        af._oracle_fn.cache_clear()  # cached programs bake the cap in
+        s_t, i_t, ids_t = run(budget, rounds, **kw)
+        with monkeypatch.context() as m:
+            m.setattr(af, "ROUND_WIDTH_CAP", 10**9)
+            af._oracle_fn.cache_clear()
+            s_u, i_u, ids_u = run(budget, rounds, **kw)
+        af._oracle_fn.cache_clear()
+        np.testing.assert_array_equal(ids_t, ids_u)
+        np.testing.assert_array_equal(i_t, i_u)
+        np.testing.assert_array_equal(np.asarray(s_t), np.asarray(s_u))

@@ -108,13 +108,17 @@ def compute_headline(out, max_round_width=64):
     trained-CE matrix when present).
 
     ``max_round_width`` excludes variants whose per-round candidate
-    width (budget / n_rounds) exceeds the bound: wide-round adaptive
-    programs crash the remote TPU worker (round 4, measured at q=512:
-    budget-300 3-round = width-100 rounds killed the worker 2/2;
-    width-60 (300@5r) and width-30 (150@5r) ran fine — and at equal
-    budget MORE rounds give equal-or-better recall anyway, e.g. rank400
-    @300: 0.37 (3r) vs 0.47 (5r)). Width, not budget, is the headline
-    constraint."""
+    width (budget / n_rounds) exceeds the bound. History: wide-round
+    adaptive programs crashed the remote TPU worker (round 4, q=512:
+    budget-300 3-round = width-100 rounds killed it 2/2/3). ROUND 5
+    root-caused it to the COMPOSITE program (every isolated stage runs
+    fine, benchmarks/wide_round_probe.json) and the engine now TILES
+    wide rounds into <=64-wide sub-picks internally
+    (adaptive_fused.ROUND_WIDTH_CAP) — the same config runs to
+    completion on chip, so the cap is no longer a crash guard. It stays
+    as headline POLICY because at equal budget MORE rounds give
+    equal-or-better recall anyway (e.g. rank400 @300: 0.37 (3r) vs
+    0.47 (5r)); pass --max_round_width 10000 to lift it."""
 
     def _variants(scen):
         v = {}
