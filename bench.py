@@ -134,7 +134,9 @@ def orchestrate():
             tail = ""
             if r is not None and r.returncode != 0:
                 err = r.stderr.decode(errors="replace").strip().splitlines()
-                tail = err[-1] if err else ""
+                # the last line alone can be useless (e.g. jax's
+                # traceback-filtering notice) — keep the last few
+                tail = " | ".join(err[-5:]) if err else ""
             if not ok:
                 print(
                     f"# {flag} attempt {attempt} failed (rc="
