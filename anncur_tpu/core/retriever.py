@@ -1023,10 +1023,16 @@ class CurRetriever:
                 # matches the fused programs (padded items embed to zero
                 # and are masked out); rank defaults to the UNPADDED
                 # content rank — zero columns add no spectral energy.
-                # Content hashing needs host bytes, so AXN pays one D2H
-                # fetch per call; the fit itself is content-cached
+                # Pad on HOST from the caller's array (free for numpy
+                # callers; device callers pay one unpadded D2H for the
+                # content hash — never fetch the padded device matrix,
+                # that is the DESIGN §27 regression again)
+                tr_host = np.asarray(train_scores, np.float32)
+                pad_h = self._padded_n_items() - tr_host.shape[1]
+                if pad_h:
+                    tr_host = np.pad(tr_host, ((0, 0), (0, pad_h)))
                 idx = fit_item_embeddings_cached(
-                    np.asarray(train), axn_rank or min(train_scores.shape)
+                    tr_host, axn_rank or min(train_scores.shape)
                 )
             else:
                 idx = self._axn_index(train, axn_rank)

@@ -1,13 +1,14 @@
 """Adaptive-engine n_items scaling profile (VERDICT r4 item 4).
 
 Round 4 measured adaptive budget-150 serving at 2.4 q/s on the 104k
-military corpus vs 14.2 q/s at 10k at comparable batch — each of the
-engine's rounds recomputes a completion against ALL items (the
-(q, n_train) @ (n_train, n_items) ridge-completion matmul plus the
-(q, n_items) mask/exclude/top_k candidate pick, core/adaptive_fused.py::
-_grow_rounds), so per-round cost grows with n_items while the fixed
-path pays one anchor projection. This tool measures the curve and the
-candidate mitigation:
+military corpus vs 14.2 q/s at 10k and blamed the per-round
+(q, n_train) @ (n_train, n_items) completion + (q, n_items) top_k.
+THE MEASUREMENT REFUTED THAT STORY (DESIGN §28): with the train matrix
+kept device-resident (the round-5 fix, DESIGN §27 — the 2.4 q/s was
+its per-call host round trip, which scales with n_items), the curve is
+FLAT 10k -> 104k at every batch size and b=512 sits at the CE roofline.
+This tool measures that curve and the shortlist mitigation (now needed
+only as a small b=1 latency trim):
 
 - n_items in {10k, 30k, ~104k}: adaptive q/s at b=512 (throughput),
   b=8 and b=1 p50 (latency serving), fixed b=8 as the control, plus a
@@ -140,9 +141,20 @@ def main(argv=None):
         # the throughput regime already recovers via batching
         # (military_scale.json: 13 q/s at 104k b=512)
         sl = args.shortlist_also
-        if sl and not args.shortlist and sl < n_items:
-            timed(f"adaptive_b1_sl{sl}", ada(1, args.rounds, budget, sl), 1)
-            timed(f"adaptive_b8_sl{sl}", ada(8, args.rounds, budget, sl), 8)
+        if sl and not args.shortlist:
+            from anncur_tpu.core.adaptive_fused import split_rounds
+
+            first, per, nr = split_rounds(budget, args.rounds)
+            for b in (1, 8):
+                # mirror the retriever's silent-disable guard: a row
+                # whose pool can't hold the batch's picks would time the
+                # FULL engine under an sl label (mislabeled artifact)
+                need = first + b * per + per * max(1, nr - 2)
+                if sl < need or sl >= n_items:
+                    print(f"# skip adaptive_b{b}_sl{sl}: guard "
+                          f"(need {need}, n_items {n_items})", flush=True)
+                    continue
+                timed(f"adaptive_b{b}_sl{sl}", ada(b, args.rounds, budget, sl), b)
         out["scales"][str(n_items)] = scale
         del retriever, train_dev
 
