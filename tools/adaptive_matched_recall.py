@@ -225,6 +225,11 @@ def main():
         "this (wide-round programs crash the remote TPU worker; see "
         "compute_headline docstring)",
     )
+    ap.add_argument(
+        "--budgets", type=int, nargs="+", default=None,
+        help="override the budget grid (e.g. to refine the 200-250 gap "
+        "for the worst-case scenario; keep it a superset of the "
+        "standard grid so sweeps stay comparable)")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks", "adaptive_matched_recall.json"))
     args = ap.parse_args()
 
@@ -269,6 +274,8 @@ def main():
             (100, 5, 450, 5),
             (150, 5, 450, 5),
         )
+    if args.budgets:
+        budgets = tuple(sorted(set(args.budgets)))
 
     out = {
         # bench.py refuses quick-mode artifacts (toy shapes carry no
