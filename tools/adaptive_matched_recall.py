@@ -226,6 +226,12 @@ def main():
         "compute_headline docstring)",
     )
     ap.add_argument(
+        "--es_only", action="store_true",
+        help="re-run ONLY the early-stop sweep per scenario (reuses the "
+        "existing artifact's budget sweeps; use after adding an "
+        "es_config so every scenario carries it for the headline "
+        "intersection)")
+    ap.add_argument(
         "--budgets", type=int, nargs="+", default=None,
         help="override the budget grid (e.g. to refine the 200-250 gap "
         "for the worst-case scenario; keep it a superset of the "
@@ -269,6 +275,7 @@ def main():
         # early-stop grid: (base, base_rounds, ceiling, escalate_rounds)
         es_configs = (
             (60, 5, 300, 5),
+            (100, 5, 210, 8),  # ceiling = the round-5 refined headline
             (100, 5, 250, 8),
             (100, 5, 300, 5),
             (100, 5, 450, 5),
@@ -306,18 +313,19 @@ def main():
         else:
             print(f"# no {tce_path}; {scen} scenario skipped", file=sys.stderr)
 
-    if args.only:
+    if args.only or args.es_only:
         # incremental: keep every other scenario from the existing
         # artifact, re-sweep only the named ones (sweeps are ~10 min per
         # scenario; adding one must not re-pay all of them)
         with open(args.out) as f:
             prev = json.load(f)
         out["scenarios"] = prev.get("scenarios", {})
-        want = set(args.only.split(","))
-        missing = want - {s[0] for s in scenarios_in}
-        if missing:
-            raise SystemExit(f"--only names unknown scenarios: {sorted(missing)}")
-        scenarios_in = [s for s in scenarios_in if s[0] in want]
+        if args.only:
+            want = set(args.only.split(","))
+            missing = want - {s[0] for s in scenarios_in}
+            if missing:
+                raise SystemExit(f"--only names unknown scenarios: {sorted(missing)}")
+            scenarios_in = [s for s in scenarios_in if s[0] in want]
 
     for scen_name, rank, tce_path in scenarios_in:
         if rank is not None:
@@ -346,6 +354,14 @@ def main():
         # the budget better — measured on rank150: 3 rounds match at
         # 200, 5 rounds at 150. AXN swept at 3 and 5 rounds (its round-4
         # rank/lam fix was measured at 5 rounds).
+        if args.es_only:
+            scen = out["scenarios"][scen_name]
+            scen["early_stop"] = early_stop_sweep(
+                full, train, fixed_anc, fixed_retvr, seeds, es_configs
+            )
+            print(json.dumps({f"{scen_name}.early_stop": scen["early_stop"]}), flush=True)
+            out["scenarios"][scen_name] = scen
+            continue
         scen = {}
         for method, rounds_grid in (("cur", (3, 5, 8)), ("axn", (3, 5))):
             for n_rounds in rounds_grid:
